@@ -1,0 +1,203 @@
+"""Rotated BEV overlap / IoU — the TPU replacement for the reference's
+`iou3d_nms_cuda` extension (pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu,
+API in iou3d_nms_utils.py:12-152 under /root/reference).
+
+The CUDA kernel walks polygon edges with data-dependent branching; that shape
+does not map to a vector unit. Here the convex intersection of two rotated
+rectangles is computed branch-free with a fixed 24-candidate formulation:
+
+  * 16 edge-pair intersection candidates (4 edges x 4 edges),
+  * 4 corners of A inside B, 4 corners of B inside A,
+
+each with a validity mask; valid candidates are sorted by angle around their
+centroid and the area comes from the shoelace formula (invalid slots are
+collapsed onto one valid vertex so they contribute zero area). Everything is
+static-shape and vmap/jit friendly; large N x M problems are evaluated in row
+blocks to bound memory.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.geometry import boxes_to_corners_bev
+
+_EPS = 1e-8
+
+
+def _pair_intersection_area(corners_a, corners_b):
+    """Intersection area of two convex quads. corners_*: (4, 2) (any winding)."""
+    # Edges: segment i goes corners[i] -> corners[i+1 mod 4].
+    a0 = corners_a  # (4, 2)
+    a1 = jnp.roll(corners_a, -1, axis=0)
+    b0 = corners_b
+    b1 = jnp.roll(corners_b, -1, axis=0)
+
+    # --- 16 edge-pair intersections (proper crossings only) ---
+    da = (a1 - a0)[:, None, :]  # (4, 1, 2)
+    db = (b1 - b0)[None, :, :]  # (1, 4, 2)
+    w = b0[None, :, :] - a0[:, None, :]  # (4, 4, 2)
+    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]  # (4, 4)
+    safe_denom = jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
+    t = (w[..., 0] * db[..., 1] - w[..., 1] * db[..., 0]) / safe_denom
+    u = (w[..., 0] * da[..., 1] - w[..., 1] * da[..., 0]) / safe_denom
+    inter_valid = (
+        (jnp.abs(denom) >= _EPS) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    )  # (4, 4)
+    inter_pts = a0[:, None, :] + t[..., None] * da  # (4, 4, 2)
+
+    # --- corners of one box inside the other ---
+    def _inside(pts, quad):
+        # Half-plane test against each edge with consistent winding. Use the
+        # sign of the quad's own orientation so either winding works.
+        q0 = quad
+        q1 = jnp.roll(quad, -1, axis=0)
+        e = q1 - q0  # (4, 2)
+        v = pts[:, None, :] - q0[None, :, :]  # (P, 4, 2)
+        crossz = e[None, :, 0] * v[..., 1] - e[None, :, 1] * v[..., 0]  # (P, 4)
+        orient = jnp.sum(
+            q0[:, 0] * q1[:, 1] - q1[:, 0] * q0[:, 1]
+        )  # 2x signed area; sign = winding
+        s = jnp.sign(orient)
+        return jnp.all(crossz * s >= -_EPS, axis=-1)
+
+    a_in_b = _inside(corners_a, corners_b)  # (4,)
+    b_in_a = _inside(corners_b, corners_a)  # (4,)
+
+    pts = jnp.concatenate(
+        [inter_pts.reshape(16, 2), corners_a, corners_b], axis=0
+    )  # (24, 2)
+    valid = jnp.concatenate([inter_valid.reshape(16), a_in_b, b_in_a], axis=0)
+
+    num_valid = jnp.sum(valid)
+    # Collapse invalid slots onto the first valid vertex: duplicates share its
+    # polar angle, sort adjacent to it, and add zero area in the shoelace sum.
+    first_idx = jnp.argmax(valid)
+    anchor = pts[first_idx]
+    pts = jnp.where(valid[:, None], pts, anchor[None, :])
+
+    center = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / jnp.maximum(
+        num_valid, 1
+    )
+    rel = pts - center[None, :]
+    angles = jnp.arctan2(rel[:, 1], rel[:, 0])
+    order = jnp.argsort(angles)
+    ring = pts[order]
+    nxt = jnp.roll(ring, -1, axis=0)
+    area = 0.5 * jnp.abs(
+        jnp.sum(ring[:, 0] * nxt[:, 1] - nxt[:, 0] * ring[:, 1])
+    )
+    return jnp.where(num_valid >= 3, area, 0.0)
+
+
+_pair_area_vv = jax.vmap(jax.vmap(_pair_intersection_area, in_axes=(None, 0)), in_axes=(0, None))
+
+
+def _overlap_block(corners_a, corners_b):
+    """(n, 4, 2), (m, 4, 2) -> (n, m) intersection areas."""
+    return _pair_area_vv(corners_a, corners_b)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def boxes_overlap_bev(boxes_a, boxes_b, block_size: int = 128):
+    """(N, 7), (M, 7) -> (N, M) rotated BEV intersection areas.
+
+    TPU equivalent of `boxes_overlap_bev_gpu` (iou3d_nms.cpp / kernel).
+    Row-blocked to bound the 24-candidate intermediate memory.
+    """
+    n = boxes_a.shape[0]
+    corners_a = boxes_to_corners_bev(boxes_a)
+    corners_b = boxes_to_corners_bev(boxes_b)
+    if n <= block_size:
+        return _overlap_block(corners_a, corners_b)
+    pad = (-n) % block_size
+    ca = jnp.pad(corners_a, ((0, pad), (0, 0), (0, 0)))
+    ca = ca.reshape(-1, block_size, 4, 2)
+    out = jax.lax.map(lambda blk: _overlap_block(blk, corners_b), ca)
+    return out.reshape(-1, boxes_b.shape[0])[:n]
+
+
+@jax.jit
+def boxes_aligned_overlap_bev(boxes_a, boxes_b):
+    """(N, 7), (N, 7) -> (N,) elementwise rotated BEV intersection areas."""
+    ca = boxes_to_corners_bev(boxes_a)
+    cb = boxes_to_corners_bev(boxes_b)
+    return jax.vmap(_pair_intersection_area)(ca, cb)
+
+
+def _height_overlap(boxes_a, boxes_b):
+    """(N, 7), (M, 7) -> (N, M) z-extent overlaps (centers + half-heights)."""
+    a_top = (boxes_a[:, 2] + boxes_a[:, 5] / 2)[:, None]
+    a_bot = (boxes_a[:, 2] - boxes_a[:, 5] / 2)[:, None]
+    b_top = (boxes_b[:, 2] + boxes_b[:, 5] / 2)[None, :]
+    b_bot = (boxes_b[:, 2] - boxes_b[:, 5] / 2)[None, :]
+    return jnp.clip(jnp.minimum(a_top, b_top) - jnp.maximum(a_bot, b_bot), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def boxes_iou_bev(boxes_a, boxes_b, block_size: int = 128):
+    """(N, 7), (M, 7) -> (N, M) rotated BEV IoU (`boxes_iou_bev_gpu`)."""
+    overlap = boxes_overlap_bev(boxes_a, boxes_b, block_size=block_size)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return overlap / jnp.clip(area_a + area_b - overlap, _EPS)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def boxes_iou3d(boxes_a, boxes_b, block_size: int = 128):
+    """(N, 7), (M, 7) -> (N, M) 3D IoU (`boxes_iou3d_gpu`, iou3d_nms_utils.py:38-66)."""
+    overlap_bev = boxes_overlap_bev(boxes_a, boxes_b, block_size=block_size)
+    overlap_h = _height_overlap(boxes_a, boxes_b)
+    overlap_3d = overlap_bev * overlap_h
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return overlap_3d / jnp.clip(vol_a + vol_b - overlap_3d, 1e-6)
+
+
+@jax.jit
+def boxes_aligned_iou3d(boxes_a, boxes_b):
+    """(N, 7), (N, 7) -> (N,) elementwise 3D IoU (`paired_boxes_iou3d_gpu`)."""
+    overlap_bev = boxes_aligned_overlap_bev(boxes_a, boxes_b)
+    a_top = boxes_a[:, 2] + boxes_a[:, 5] / 2
+    a_bot = boxes_a[:, 2] - boxes_a[:, 5] / 2
+    b_top = boxes_b[:, 2] + boxes_b[:, 5] / 2
+    b_bot = boxes_b[:, 2] - boxes_b[:, 5] / 2
+    overlap_h = jnp.clip(jnp.minimum(a_top, b_top) - jnp.maximum(a_bot, b_bot), 0.0)
+    overlap_3d = overlap_bev * overlap_h
+    vol_a = boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5]
+    vol_b = boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5]
+    return overlap_3d / jnp.clip(vol_a + vol_b - overlap_3d, 1e-6)
+
+
+@jax.jit
+def boxes_nearest_bev_iou(boxes_a, boxes_b):
+    """Axis-aligned "nearest BEV" IoU (box_utils.py:328 `boxes3d_nearest_bev_iou`).
+
+    Each rotated box is snapped to the axis-aligned box of its nearest cardinal
+    heading (|r| wrapped to [0, pi/2) decides whether dx/dy swap), then plain
+    2D IoU. Used by anchor target assignment.
+    """
+
+    def to_nearest(b):
+        rot = jnp.abs(limit_period_half(b[:, 6]))
+        cond = (rot > jnp.pi / 4)[:, None]
+        dims = jnp.where(cond, b[:, [4, 3]], b[:, [3, 4]])
+        return jnp.concatenate([b[:, 0:2] - dims / 2, b[:, 0:2] + dims / 2], axis=-1)
+
+    qa = to_nearest(boxes_a)  # (N, 4) x1 y1 x2 y2
+    qb = to_nearest(boxes_b)
+    lt = jnp.maximum(qa[:, None, 0:2], qb[None, :, 0:2])
+    rb = jnp.minimum(qa[:, None, 2:4], qb[None, :, 2:4])
+    wh = jnp.clip(rb - lt, 0.0)
+    overlap = wh[..., 0] * wh[..., 1]
+    area_a = ((qa[:, 2] - qa[:, 0]) * (qa[:, 3] - qa[:, 1]))[:, None]
+    area_b = ((qb[:, 2] - qb[:, 0]) * (qb[:, 3] - qb[:, 1]))[None, :]
+    return overlap / jnp.clip(area_a + area_b - overlap, _EPS)
+
+
+def limit_period_half(val):
+    """Wrap to [-pi/2, pi/2) — offset 0.5, period pi."""
+    return val - jnp.floor(val / jnp.pi + 0.5) * jnp.pi

@@ -1,0 +1,147 @@
+"""On-device voxelization — replaces the reference's host-side spconv
+`Point2VoxelCPU3d` voxel generator (pcdet/datasets/processor/
+data_processor.py:17-62 under /root/reference).
+
+The reference voxelizes on CPU in the dataloader worker with dynamic output
+counts. TPU-native design: voxelization is a fixed-shape device program —
+sort points by voxel hash, segment them, and scatter into fixed-capacity
+buffers with validity masks. This keeps the whole pipeline (points -> voxels
+-> VFE -> backbone) inside one jit and off the host.
+
+Ordering note: the spconv CPU generator emits voxels in first-point-appearance
+order; we emit them in ascending spatial-hash order. Nothing downstream
+depends on voxel order (features are scattered into dense/sparse grids by
+coordinate), so the difference is unobservable past the VFE.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class VoxelizationOutput(NamedTuple):
+    voxels: jax.Array        # (V, T, C) per-voxel point features, zero padded
+    coords: jax.Array        # (V, 3) int32 zyx voxel coords (spconv order), -1 pad
+    num_points: jax.Array    # (V,) int32 points per voxel (clipped to T)
+    voxel_mask: jax.Array    # (V,) bool valid-voxel mask
+    num_voxels: jax.Array    # () int32
+    point_voxel_idx: jax.Array  # (P,) int32 voxel slot per point (-1 = dropped)
+
+
+def compute_voxel_coords(points, point_cloud_range, voxel_size):
+    """points (P, >=3) -> (P, 3) int32 xyz voxel coords + (P,) in-range mask."""
+    lo = jnp.asarray(point_cloud_range[0:3], dtype=points.dtype)
+    hi = jnp.asarray(point_cloud_range[3:6], dtype=points.dtype)
+    vs = jnp.asarray(voxel_size, dtype=points.dtype)
+    grid = jnp.floor((hi - lo) / vs + 0.5).astype(jnp.int32)  # static per cfg
+    xyz = jnp.floor((points[:, 0:3] - lo) / vs).astype(jnp.int32)
+    in_range = jnp.all((points[:, 0:3] >= lo) & (points[:, 0:3] < hi), axis=-1)
+    in_grid = jnp.all((xyz >= 0) & (xyz < grid), axis=-1)
+    return xyz, in_range & in_grid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_size", "max_voxels", "max_points_per_voxel"),
+)
+def voxelize(
+    points,
+    points_mask,
+    point_cloud_range: Sequence[float],
+    voxel_size: Sequence[float],
+    grid_size: Sequence[int],
+    max_voxels: int,
+    max_points_per_voxel: int,
+) -> VoxelizationOutput:
+    """Fixed-shape voxelization.
+
+    Args:
+      points: (P, 3+C) float.
+      points_mask: (P,) bool — padded/invalid points excluded.
+      grid_size: (nx, ny, nz) static ints.
+      max_voxels / max_points_per_voxel: static capacities (V, T).
+    """
+    p, c = points.shape
+    nx, ny, nz = (int(g) for g in grid_size)
+    v_cap, t_cap = max_voxels, max_points_per_voxel
+
+    xyz, in_range = compute_voxel_coords(
+        points, jnp.asarray(point_cloud_range), jnp.asarray(voxel_size)
+    )
+    valid = points_mask & in_range
+
+    # Linear voxel hash; invalid points get a sentinel beyond any real id so
+    # they sort to the back.
+    lin = (xyz[:, 2] * ny + xyz[:, 1]) * nx + xyz[:, 0]
+    sentinel = nx * ny * nz
+    lin = jnp.where(valid, lin, sentinel)
+
+    order = jnp.argsort(lin, stable=True)  # stable: in-voxel point order = input order
+    lin_sorted = lin[order]
+
+    # Segment starts -> voxel slot per sorted point.
+    is_valid_sorted = lin_sorted < sentinel
+    newseg = jnp.concatenate(
+        [is_valid_sorted[:1], (lin_sorted[1:] != lin_sorted[:-1]) & is_valid_sorted[1:]]
+    )
+    voxel_slot_sorted = jnp.cumsum(newseg.astype(jnp.int32)) - 1  # (P,)
+    voxel_slot_sorted = jnp.where(is_valid_sorted, voxel_slot_sorted, v_cap)
+    num_voxels_total = jnp.max(jnp.where(is_valid_sorted, voxel_slot_sorted + 1, 0), initial=0)
+    num_voxels = jnp.minimum(num_voxels_total, v_cap).astype(jnp.int32)
+
+    # Rank of each point within its voxel.
+    pos = jnp.arange(p, dtype=jnp.int32)
+    seg_start_pos = jnp.where(newseg, pos, 0)
+    seg_start_cummax = jax.lax.associative_scan(jnp.maximum, seg_start_pos)
+    rank = pos - seg_start_cummax
+
+    keep = is_valid_sorted & (voxel_slot_sorted < v_cap)
+    slot_clamped = jnp.where(keep, voxel_slot_sorted, v_cap)
+    rank_clamped = jnp.where(keep & (rank < t_cap), rank, t_cap)
+
+    # Scatter sorted points into (V+1, T+1, C); the +1 rows/cols absorb drops.
+    pts_sorted = points[order]
+    voxels = jnp.zeros((v_cap + 1, t_cap + 1, c), dtype=points.dtype)
+    voxels = voxels.at[slot_clamped, rank_clamped].set(pts_sorted)
+    voxels = voxels[:v_cap, :t_cap]
+
+    # Per-voxel point counts (clipped to T) and coords.
+    ones = (keep & (rank < t_cap)).astype(jnp.int32)
+    num_points = jnp.zeros((v_cap + 1,), jnp.int32).at[slot_clamped].add(ones)[:v_cap]
+
+    coords = jnp.full((v_cap + 1, 3), -1, dtype=jnp.int32)
+    zyx_sorted = xyz[order][:, ::-1]
+    coords = coords.at[slot_clamped].set(jnp.where(keep[:, None], zyx_sorted, -1))
+    coords = coords[:v_cap]
+
+    voxel_mask = jnp.arange(v_cap) < num_voxels
+
+    # Map each ORIGINAL point index to its voxel slot (-1 if dropped).
+    pv = jnp.full((p,), -1, jnp.int32)
+    pv = pv.at[order].set(jnp.where(keep, slot_clamped, -1))
+
+    return VoxelizationOutput(
+        voxels=voxels,
+        coords=coords,
+        num_points=num_points,
+        voxel_mask=voxel_mask,
+        num_voxels=num_voxels,
+        point_voxel_idx=pv,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "max_voxels"))
+def dynamic_voxelize(points, points_mask, point_cloud_range, voxel_size,
+                     grid_size: Sequence[int], max_voxels: int):
+    """Dynamic-VFE style voxelization: no per-voxel point cap. Returns the
+    per-point voxel slot (for segment_sum/max feature reduction), voxel zyx
+    coords, and mask. Equivalent role to torch_scatter in the reference's
+    DynamicMeanVFE/DynamicPillarVFE (pcdet/models/backbones_3d/vfe/dynamic_*.py).
+    """
+    out = voxelize(points, points_mask, point_cloud_range, voxel_size,
+                   grid_size, max_voxels, 1)
+    return out.point_voxel_idx, out.coords, out.voxel_mask, out.num_voxels
