@@ -1,0 +1,97 @@
+"""SyntheticDataset — procedurally generated LiDAR scenes.
+
+Not in the reference (it has no automated tests — SURVEY.md §4); this dataset
+exists so the full train/eval stack can be exercised and benchmarked without
+nuScenes/KITTI on disk. Scenes are deterministic per (seed, index): a few
+dozen boxes with class-dependent size priors, points sampled densely inside
+objects plus uniform ground clutter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dataset import DatasetTemplate
+
+SIZE_PRIORS = {
+    "Car": ([4.6, 1.95, 1.7], [0.3, 0.1, 0.1]),
+    "Pedestrian": ([0.8, 0.7, 1.7], [0.1, 0.1, 0.1]),
+    "Cyclist": ([1.8, 0.7, 1.7], [0.15, 0.1, 0.1]),
+    "truck": ([7.0, 2.5, 2.8], [0.8, 0.2, 0.3]),
+    "bus": ([11.0, 2.9, 3.3], [1.0, 0.2, 0.3]),
+}
+DEFAULT_PRIOR = ([2.5, 1.5, 1.6], [0.4, 0.3, 0.2])
+
+
+class SyntheticDataset(DatasetTemplate):
+    def __init__(self, dataset_cfg, class_names, training=True, logger=None,
+                 root_path=None):
+        super().__init__(
+            dataset_cfg=dataset_cfg, class_names=class_names,
+            training=training, logger=logger, root_path=root_path,
+        )
+        syn = dataset_cfg.get("SYNTHETIC", {})
+        self.num_scenes = int(syn.get("NUM_SCENES", 64))
+        self.num_objects = int(syn.get("NUM_OBJECTS", 24))
+        self.num_raw_points = int(syn.get("NUM_RAW_POINTS", 20000))
+        self.base_seed = int(syn.get("SEED", 0)) + (0 if training else 10_000)
+
+    def __len__(self):
+        return self.num_scenes
+
+    def generate_scene(self, index):
+        rng = np.random.RandomState(self.base_seed + index)
+        pcr = self.point_cloud_range
+        n = self.num_objects
+
+        names = [self.class_names[rng.randint(len(self.class_names))] for _ in range(n)]
+        boxes = np.zeros((n, 7), np.float32)
+        margin = 4.0
+        boxes[:, 0] = rng.uniform(pcr[0] + margin, pcr[3] - margin, n)
+        boxes[:, 1] = rng.uniform(pcr[1] + margin, pcr[4] - margin, n)
+        for i, nm in enumerate(names):
+            mean, std = SIZE_PRIORS.get(nm, DEFAULT_PRIOR)
+            boxes[i, 3:6] = np.abs(rng.normal(mean, std))
+        boxes[:, 2] = boxes[:, 5] / 2 - 1.5  # ground at z=-1.5
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+
+        # object points: uniform inside each box, count scaled by footprint
+        obj_pts = []
+        for i in range(n):
+            cnt = max(20, int(40 * boxes[i, 3] * boxes[i, 4]))
+            local = rng.uniform(-0.5, 0.5, (cnt, 3)) * boxes[i, 3:6]
+            c, s = np.cos(boxes[i, 6]), np.sin(boxes[i, 6])
+            x = local[:, 0] * c - local[:, 1] * s + boxes[i, 0]
+            y = local[:, 0] * s + local[:, 1] * c + boxes[i, 1]
+            z = local[:, 2] + boxes[i, 2]
+            inten = rng.uniform(0, 1, (cnt, 1))
+            obj_pts.append(
+                np.concatenate([np.stack([x, y, z], -1), inten], -1)
+            )
+        # ground clutter
+        m = self.num_raw_points - sum(len(p) for p in obj_pts)
+        m = max(m, 1000)
+        ground = np.zeros((m, 4), np.float32)
+        ground[:, 0] = rng.uniform(pcr[0], pcr[3], m)
+        ground[:, 1] = rng.uniform(pcr[1], pcr[4], m)
+        ground[:, 2] = rng.normal(-1.5, 0.05, m)
+        ground[:, 3] = rng.uniform(0, 1, m)
+        points = np.concatenate(obj_pts + [ground], axis=0).astype(np.float32)
+
+        return {
+            "points": points,
+            "gt_boxes": boxes,
+            "gt_names": np.asarray(names),
+            "frame_id": index,
+        }
+
+    def __getitem__(self, index):
+        data_dict = self.generate_scene(index)
+        return self.prepare_data(data_dict)
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        """Simple mAP-style eval via the shared BEV-AP evaluator."""
+        from .eval_utils import simple_map_eval
+
+        gts = [self.generate_scene(i) for i in range(len(self))]
+        return simple_map_eval(det_annos, gts, class_names)

@@ -1,0 +1,181 @@
+"""Detector assembly: cfg-driven module topology, like the reference's
+Detector3DTemplate (pcdet/models/detectors/detector3d_template.py:36-194,
+/root/reference) but functional.
+
+A `Detector3D` is one flax module that runs the fixed topology
+vfe -> map_to_bev -> backbone_2d -> dense_head over a dict-shaped batch
+pytree (the reference's mutable batch_dict becomes a threaded dict of
+arrays inside jit). Training losses and post-processing are exposed as pure
+functions on the wrapper so the train step is a single `value_and_grad`.
+
+Voxelization runs ON DEVICE inside the same jit (the reference voxelizes on
+CPU in dataloader workers — data_processor.py:17-62).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.voxelize import voxelize
+from ..backbones_2d import BACKBONE_2D_REGISTRY, MAP_TO_BEV_REGISTRY
+from ..dense_heads import DENSE_HEAD_REGISTRY
+from ..dense_heads.anchor_head import make_anchor_head_tools
+from ..post_processing import post_process
+from ..vfe import VFE_REGISTRY
+
+
+class DetectorModule(nn.Module):
+    """The jittable forward: batch dict in, batch dict (with preds) out."""
+
+    model_cfg: Any
+    num_class: int
+    class_names: tuple
+    grid_size: tuple
+    voxel_size: tuple
+    point_cloud_range: tuple
+    num_point_features: int
+    max_voxels: int
+    max_points_per_voxel: int
+
+    def setup(self):
+        cfg = self.model_cfg
+        modules = []
+        if "VFE" in cfg:
+            vfe_cls = VFE_REGISTRY[cfg["VFE"]["NAME"]]
+            self.vfe = vfe_cls(
+                model_cfg=cfg["VFE"],
+                num_point_features=self.num_point_features,
+                voxel_size=tuple(self.voxel_size),
+                point_cloud_range=tuple(self.point_cloud_range),
+                grid_size=tuple(self.grid_size),
+            )
+            modules.append("vfe")
+        if "MAP_TO_BEV" in cfg:
+            m2b_cls = MAP_TO_BEV_REGISTRY[cfg["MAP_TO_BEV"]["NAME"]]
+            self.map_to_bev = m2b_cls(
+                model_cfg=cfg["MAP_TO_BEV"], grid_size=tuple(self.grid_size)
+            )
+            modules.append("map_to_bev")
+        if "BACKBONE_2D" in cfg:
+            bb_cls = BACKBONE_2D_REGISTRY[cfg["BACKBONE_2D"]["NAME"]]
+            in_ch = (
+                self.map_to_bev.num_bev_features
+                if "MAP_TO_BEV" in cfg
+                else int(cfg["BACKBONE_2D"].get("INPUT_CHANNELS", 64))
+            )
+            self.backbone_2d = bb_cls(
+                model_cfg=cfg["BACKBONE_2D"], input_channels=in_ch
+            )
+            modules.append("backbone_2d")
+        if "DENSE_HEAD" in cfg:
+            head_cls = DENSE_HEAD_REGISTRY[cfg["DENSE_HEAD"]["NAME"]]
+            self.dense_head = head_cls(
+                model_cfg=cfg["DENSE_HEAD"],
+                input_channels=self.backbone_2d.num_bev_features,
+                num_class=self.num_class,
+                class_names=tuple(self.class_names),
+                grid_size=tuple(self.grid_size),
+                point_cloud_range=tuple(self.point_cloud_range),
+            )
+            modules.append("dense_head")
+        self.module_order = tuple(modules)
+
+    def _voxelize(self, batch):
+        """Device-side voxelization for the whole batch (vmapped)."""
+
+        def one(points, mask):
+            return voxelize(
+                points, mask,
+                tuple(self.point_cloud_range), tuple(self.voxel_size),
+                tuple(int(g) for g in self.grid_size),
+                self.max_voxels, self.max_points_per_voxel,
+            )
+
+        out = jax.vmap(one)(batch["points"], batch["points_mask"])
+        batch["voxels"] = out.voxels
+        batch["voxel_coords"] = out.coords
+        batch["voxel_num_points"] = out.num_points
+        batch["voxel_mask"] = out.voxel_mask
+        return batch
+
+    def __call__(self, batch, train: bool = False):
+        batch = dict(batch)
+        if "voxels" not in batch:
+            batch = self._voxelize(batch)
+        for name in self.module_order:
+            batch = getattr(self, name)(batch, train)
+        return batch
+
+
+@dataclass
+class Detector3D:
+    """Wrapper bundling the flax module with pure loss / post-process fns."""
+
+    module: DetectorModule
+    model_cfg: Any
+    post_cfg: Any
+    head_tools: Any  # AnchorHeadTools or head-specific equivalent
+
+    def init(self, rng, example_batch):
+        return self.module.init(rng, example_batch, train=True)
+
+    def apply(self, variables, batch, train: bool = False, **kw):
+        return self.module.apply(variables, batch, train=train, **kw)
+
+    def loss(self, variables, batch):
+        """Pure (variables, batch) -> (loss, (tb_dict, mutated_collections))."""
+        out, mut = self.module.apply(
+            variables, batch, train=True, mutable=["batch_stats"]
+        )
+        targets = self.head_tools.assign(batch["gt_boxes"])
+        loss, tb = self.head_tools.loss(out, targets)
+        return loss, (tb, mut)
+
+    def post_process(self, out_batch):
+        pc = self.post_cfg
+        nms_cfg = pc["NMS_CONFIG"]
+        return post_process(
+            out_batch["batch_cls_preds"],
+            out_batch["batch_box_preds"],
+            float(nms_cfg["NMS_THRESH"]),
+            score_thresh=float(pc.get("SCORE_THRESH", 0.1)),
+            nms_pre=int(nms_cfg.get("NMS_PRE_MAXSIZE", 1024)),
+            nms_post=int(nms_cfg.get("NMS_POST_MAXSIZE", 256)),
+            normalized=bool(out_batch.get("cls_preds_normalized", False)),
+        )
+
+
+def build_detector(model_cfg, num_class, dataset):
+    """dataset provides: class_names, grid_size, voxel_size, point_cloud_range,
+    num_point_features, max_voxels, max_points_per_voxel (mirrors
+    detector3d_template.py:57-65)."""
+    module = DetectorModule(
+        model_cfg=model_cfg,
+        num_class=num_class,
+        class_names=tuple(dataset.class_names),
+        grid_size=tuple(int(g) for g in dataset.grid_size),
+        voxel_size=tuple(float(v) for v in dataset.voxel_size),
+        point_cloud_range=tuple(float(v) for v in dataset.point_cloud_range),
+        num_point_features=int(dataset.num_point_features),
+        max_voxels=int(dataset.max_voxels),
+        max_points_per_voxel=int(dataset.max_points_per_voxel),
+    )
+    head_tools = None
+    if "DENSE_HEAD" in model_cfg and model_cfg["DENSE_HEAD"]["NAME"] == "AnchorHeadSingle":
+        head_tools = make_anchor_head_tools(
+            model_cfg["DENSE_HEAD"], num_class,
+            tuple(int(g) for g in dataset.grid_size),
+            tuple(float(v) for v in dataset.point_cloud_range),
+        )
+    return Detector3D(
+        module=module,
+        model_cfg=model_cfg,
+        post_cfg=model_cfg.get("POST_PROCESSING", {}),
+        head_tools=head_tools,
+    )

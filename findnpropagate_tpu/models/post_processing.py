@@ -1,0 +1,85 @@
+"""Shared detector post-processing: score sigmoid, class-agnostic NMS,
+fixed-size final detections, and recall bookkeeping.
+
+Behavioral parity with Detector3DTemplate.post_processing
+(pcdet/models/detectors/detector3d_template.py:199-399, /root/reference),
+restructured for fixed shapes: every sample yields MAX_DET slots + a count.
+Recall records support known/unknown class splits (the OV evaluation path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import nms_bev
+from ..ops.rotated_iou import boxes_iou3d
+
+
+class Detections(NamedTuple):
+    boxes: jax.Array   # (B, D, 7+C)
+    scores: jax.Array  # (B, D)
+    labels: jax.Array  # (B, D) int32, 1-indexed; 0 for empty slots
+    count: jax.Array   # (B,) int32
+
+
+@functools.partial(
+    jax.jit, static_argnames=("score_thresh", "nms_pre", "nms_post", "normalized")
+)
+def post_process(batch_cls_preds, batch_box_preds, nms_thresh,
+                 score_thresh: float = 0.1, nms_pre: int = 1024,
+                 nms_post: int = 256, normalized: bool = False):
+    """Class-agnostic post-processing (POST_PROCESSING.NMS_CONFIG path).
+
+    batch_cls_preds: (B, N, C) logits (or probs if normalized);
+    batch_box_preds: (B, N, 7+).
+    """
+    scores_all = batch_cls_preds if normalized else jax.nn.sigmoid(batch_cls_preds)
+    scores = jnp.max(scores_all, axis=-1)
+    labels = jnp.argmax(scores_all, axis=-1).astype(jnp.int32) + 1
+
+    def one(boxes_s, scores_s, labels_s):
+        valid = scores_s >= score_thresh
+        idx, num = nms_bev(
+            boxes_s, scores_s, nms_thresh,
+            pre_maxsize=nms_pre, post_maxsize=nms_post, valid_mask=valid,
+        )
+        safe = jnp.clip(idx, 0)
+        good = idx >= 0
+        return (
+            jnp.where(good[:, None], boxes_s[safe], 0.0),
+            jnp.where(good, scores_s[safe], 0.0),
+            jnp.where(good, labels_s[safe], 0),
+            num,
+        )
+
+    boxes, scores_o, labels_o, count = jax.vmap(one)(
+        batch_box_preds, scores, labels
+    )
+    return Detections(boxes, scores_o, labels_o, count)
+
+
+@functools.partial(jax.jit, static_argnames=("thresh_list",))
+def recall_record(det_boxes, det_mask, gt_boxes, thresh_list=(0.3, 0.5, 0.7),
+                  rois=None):
+    """Per-batch recall counts (detector3d_template.generate_recall_record).
+
+    det_boxes: (D, 7+) final detections for one sample; det_mask: (D,);
+    gt_boxes: (M, 8) padded with zero rows.
+    Returns dict {'gt': num_gt, f'recall_{t}': matched count}.
+    """
+    gt_valid = gt_boxes[:, 7] > 0 if gt_boxes.shape[-1] > 7 else (
+        jnp.sum(jnp.abs(gt_boxes), axis=-1) > 0
+    )
+    num_gt = jnp.sum(gt_valid)
+    out = {"gt": num_gt}
+    iou = boxes_iou3d(gt_boxes[:, :7], det_boxes[:, :7])
+    iou = jnp.where(det_mask[None, :], iou, 0.0)
+    best = jnp.max(iou, axis=1, initial=0.0)
+    best = jnp.where(gt_valid, best, 0.0)
+    for t in thresh_list:
+        out[f"recall_{t}"] = jnp.sum(best > t)
+    return out

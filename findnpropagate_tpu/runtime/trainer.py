@@ -1,0 +1,161 @@
+"""Training runtime: train state, sharded train/eval steps, checkpointing.
+
+TPU-native replacement for tools/train_utils/train_utils.py (/root/reference):
+the DDP + AMP + per-iter scheduler epoch loop becomes a single jitted
+train_step over a device mesh (XLA inserts the gradient all-reduce from the
+shardings); AMP GradScaler is unnecessary (bf16 on TPU needs no loss
+scaling); checkpoints go through orbax with {step, params, batch_stats,
+opt_state} like the reference's {epoch, it, model_state, optimizer_state}.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import shard_batch
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(detector, example_batch, tx, rng):
+    variables = detector.init(rng, example_batch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state)
+
+
+def make_train_step(detector, tx, mesh=None, donate=True):
+    """Returns train_step(state, batch) -> (state, metrics), jitted and
+    (optionally) sharded: params replicated, batch sharded on its leading
+    axis over the mesh's 'data' axis."""
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        loss, (tb, mut) = detector.loss(variables, batch)
+        return loss, (tb, mut.get("batch_stats", batch_stats))
+
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (tb, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(tb)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_bs, new_opt), metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def batch_shardings(batch):
+        return jax.tree.map(
+            lambda x: data if getattr(x, "ndim", 0) >= 1 else repl, batch
+        )
+
+    def sharded(state, batch):
+        return train_step(state, batch)
+
+    return jax.jit(
+        sharded,
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(detector, mesh=None):
+    def eval_step(variables, batch):
+        out = detector.apply(variables, batch, train=False)
+        return detector.post_process(out)
+
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------- checkpoints
+
+def save_checkpoint(ckpt_dir, state: TrainState, step=None, max_keep: int = 5):
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    step = int(step if step is not None else state.step)
+    path = ckpt_dir / f"checkpoint_{step}"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state._asdict()), force=True)
+    ckptr.wait_until_finished()
+    # rotation (reference train_utils.py:315-321)
+    ckpts = sorted(
+        ckpt_dir.glob("checkpoint_*"), key=lambda p: int(p.name.split("_")[-1])
+    )
+    for old in ckpts[:-max_keep]:
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir):
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    ckpts = sorted(
+        ckpt_dir.glob("checkpoint_*"), key=lambda p: int(p.name.split("_")[-1])
+    )
+    return ckpts[-1] if ckpts else None
+
+
+def restore_checkpoint(path, state: TrainState) -> TrainState:
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.device_get(state._asdict())
+    restored = ckptr.restore(Path(path).resolve(), target)
+    return TrainState(**restored)
+
+
+# ---------------------------------------------------------------- epoch loops
+
+def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
+                 ckpt_dir=None, log_interval=10, ckpt_save_interval=1,
+                 start_epoch=0, hooks=None):
+    """Simple epoch driver (reference train_model, train_utils.py:264-325)."""
+    train_step = make_train_step(detector, tx, mesh=mesh)
+    emit = logger.info if logger else print
+    history = []
+    for epoch in range(start_epoch, epochs):
+        loader.set_epoch(epoch)
+        if hooks:
+            for h in hooks:
+                h(epoch=epoch, loader=loader)
+        t0 = time.time()
+        for it, batch in enumerate(loader):
+            batch = shard_batch(mesh, batch) if mesh is not None else batch
+            batch.pop("frame_id", None)
+            batch.pop("batch_size", None)
+            state, metrics = train_step(state, batch)
+            if it % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                history.append(m)
+                emit(
+                    f"epoch {epoch} it {it}/{len(loader)} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in m.items())
+                )
+        emit(f"epoch {epoch} done in {time.time()-t0:.1f}s")
+        if ckpt_dir is not None and (epoch + 1) % ckpt_save_interval == 0:
+            save_checkpoint(ckpt_dir, state, step=epoch + 1)
+    return state, history

@@ -1,0 +1,131 @@
+"""Host-side numpy geometry for the data pipeline (augmentation etc.).
+
+Same conventions as utils/geometry.py (the JAX twin); used where work
+belongs on the host (dataloader-side augmentation), mirroring the
+reference's numpy paths in pcdet/datasets/augmentor/augmentor_utils.py and
+pcdet/utils/common_utils.py (/root/reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def limit_period(val, offset=0.5, period=np.pi):
+    return val - np.floor(val / period + offset) * period
+
+
+def rotate_points_along_z(points, angle):
+    """points (N, 3+C), scalar angle."""
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], dtype=points.dtype)
+    out = points.copy()
+    out[:, 0:3] = points[:, 0:3] @ rot
+    return out
+
+
+def rotate_boxes_along_z(boxes, angle):
+    """boxes (N, 7+C): rotate centers, add angle to heading; velocities
+    (cols 7:9 if present) rotate in-plane."""
+    out = boxes.copy()
+    out[:, 0:3] = rotate_points_along_z(boxes[:, 0:3], angle)
+    out[:, 6] += angle
+    if boxes.shape[1] > 8:
+        vel = np.concatenate(
+            [boxes[:, 7:9], np.zeros((len(boxes), 1), boxes.dtype)], axis=1
+        )
+        out[:, 7:9] = rotate_points_along_z(vel, angle)[:, 0:2]
+    return out
+
+
+def flip_along_x(points, boxes):
+    """world flip about x axis: y -> -y (augmentor_utils.random_flip_along_x)."""
+    points = points.copy()
+    points[:, 1] = -points[:, 1]
+    if boxes is not None and len(boxes):
+        boxes = boxes.copy()
+        boxes[:, 1] = -boxes[:, 1]
+        boxes[:, 6] = -boxes[:, 6]
+        if boxes.shape[1] > 8:
+            boxes[:, 8] = -boxes[:, 8]
+    return points, boxes
+
+
+def flip_along_y(points, boxes):
+    """world flip about y axis: x -> -x."""
+    points = points.copy()
+    points[:, 0] = -points[:, 0]
+    if boxes is not None and len(boxes):
+        boxes = boxes.copy()
+        boxes[:, 0] = -boxes[:, 0]
+        boxes[:, 6] = -(boxes[:, 6] + np.pi)
+        if boxes.shape[1] > 8:
+            boxes[:, 7] = -boxes[:, 7]
+    return points, boxes
+
+
+def mask_points_by_range(points, limit_range):
+    return (
+        (points[:, 0] >= limit_range[0])
+        & (points[:, 0] <= limit_range[3])
+        & (points[:, 1] >= limit_range[1])
+        & (points[:, 1] <= limit_range[4])
+    )
+
+
+def mask_boxes_outside_range(boxes, limit_range):
+    centers = boxes[:, 0:3]
+    return (
+        (centers >= np.asarray(limit_range[0:3])).all(axis=-1)
+        & (centers <= np.asarray(limit_range[3:6])).all(axis=-1)
+    )
+
+
+def boxes_to_corners_bev(boxes):
+    """(N, 7) -> (N, 4, 2)."""
+    h = boxes[:, 3] / 2
+    w = boxes[:, 4] / 2
+    template = np.stack(
+        [
+            np.stack([h, w], -1),
+            np.stack([-h, w], -1),
+            np.stack([-h, -w], -1),
+            np.stack([h, -w], -1),
+        ],
+        axis=1,
+    )  # (N, 4, 2)
+    c = np.cos(boxes[:, 6])[:, None]
+    s = np.sin(boxes[:, 6])[:, None]
+    x = template[..., 0] * c - template[..., 1] * s
+    y = template[..., 0] * s + template[..., 1] * c
+    return np.stack([x, y], -1) + boxes[:, None, 0:2]
+
+
+def points_in_boxes_mask(points, boxes):
+    """(P, 3), (N, 7) -> (N, P) bool."""
+    shift = points[None, :, 0:3] - boxes[:, None, 0:3]
+    c = np.cos(-boxes[:, 6])[:, None]
+    s = np.sin(-boxes[:, 6])[:, None]
+    lx = shift[..., 0] * c - shift[..., 1] * s
+    ly = shift[..., 0] * s + shift[..., 1] * c
+    return (
+        (np.abs(lx) <= boxes[:, None, 3] / 2)
+        & (np.abs(ly) <= boxes[:, None, 4] / 2)
+        & (np.abs(shift[..., 2]) <= boxes[:, None, 5] / 2)
+    )
+
+
+def boxes_bev_iou_cpu(boxes_a, boxes_b):
+    """Axis-aligned-approximate BEV IoU for host-side collision checks
+    (used where the reference calls its CPU IoU for augmentation)."""
+    ca = boxes_to_corners_bev(boxes_a)
+    cb = boxes_to_corners_bev(boxes_b)
+    a_min, a_max = ca.min(axis=1), ca.max(axis=1)
+    b_min, b_max = cb.min(axis=1), cb.max(axis=1)
+    lt = np.maximum(a_min[:, None], b_min[None, :])
+    rb = np.minimum(a_max[:, None], b_max[None, :])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a_max - a_min).prod(axis=1)[:, None]
+    area_b = (b_max - b_min).prod(axis=1)[None, :]
+    return inter / np.clip(area_a + area_b - inter, 1e-8, None)

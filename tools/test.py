@@ -1,0 +1,124 @@
+"""Evaluation CLI — mirrors the reference's tools/test.py surface
+(/root/reference tools/test.py:58-137): single-checkpoint eval with recall
+stats and dataset metric computation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+from findnpropagate_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
+from findnpropagate_tpu.datasets import build_dataloader
+from findnpropagate_tpu.models import build_network
+from findnpropagate_tpu.runtime.optimization import build_optimizer
+from findnpropagate_tpu.runtime.trainer import (
+    create_train_state,
+    latest_checkpoint,
+    make_eval_step,
+    restore_checkpoint,
+)
+from findnpropagate_tpu.utils.logging import create_logger
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--infer_time", action="store_true")
+    parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def eval_ckpt(detector, loader, dataset, variables, logger, class_names,
+              infer_time=False, max_batches=None, known_classes=None):
+    eval_step = make_eval_step(detector)
+    det_annos = []
+    times = []
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        frame_ids = batch.pop("frame_id", None)
+        batch.pop("batch_size", None)
+        t0 = time.time()
+        dets = eval_step(variables, batch)
+        jax.block_until_ready(dets.boxes)
+        times.append(time.time() - t0)
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        labels = np.asarray(dets.labels)
+        counts = np.asarray(dets.count)
+        for i in range(boxes.shape[0]):
+            n = int(counts[i])
+            det_annos.append(
+                {"boxes": boxes[i, :n], "scores": scores[i, :n],
+                 "labels": labels[i, :n],
+                 "frame_id": frame_ids[i] if frame_ids else None}
+            )
+    if infer_time and len(times) > 1:
+        bsz = boxes.shape[0]
+        sec_per_scan = float(np.mean(times[1:])) / bsz
+        logger.info(f"sec_per_example: {sec_per_scan:.4f} "
+                    f"({1.0/sec_per_scan:.2f} scans/sec)")
+    result_str, result_dict = dataset.evaluation(
+        det_annos, class_names, known_classes=known_classes
+    )
+    logger.info("\n" + result_str)
+    return det_annos, result_dict
+
+
+def main():
+    args, _ = parse_config()
+    output_dir = Path("output") / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    eval_dir = output_dir / "eval"
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(
+        eval_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt"
+    )
+
+    batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    dataset, loader, _ = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=batch_size,
+        training=False, logger=logger,
+    )
+    detector = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
+
+    example = next(iter(loader))
+    example.pop("frame_id", None)
+    example.pop("batch_size", None)
+    tx, _ = build_optimizer(cfg.OPTIMIZATION, 1)
+    state = create_train_state(detector, example, tx, jax.random.PRNGKey(0))
+    ckpt = args.ckpt or latest_checkpoint(output_dir / "ckpt")
+    if ckpt:
+        logger.info(f"loading {ckpt}")
+        state = restore_checkpoint(ckpt, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    known = cfg.get("KNOWN_CLASS_NAMES")
+    _, result = eval_ckpt(
+        detector, loader, dataset, variables, logger, cfg.CLASS_NAMES,
+        infer_time=args.infer_time, max_batches=args.max_batches,
+        known_classes=known,
+    )
+    with open(eval_dir / "result.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
