@@ -1,0 +1,352 @@
+"""Sparse voxel backbones (VoxelBackBone8x / VoxelResBackBone8x).
+
+Behavioral parity with pcdet/models/backbones_3d/spconv_backbone.py:8-295
+(/root/reference): SubM input conv; four stages (stage k >= 2 opens with a
+k3 s2 strided sparse conv; res variant uses two SparseBasicBlocks per stage);
+final (3,1,1)-kernel (2,1,1)-stride conv over z; outputs the stride-8 sparse
+volume for HeightCompression plus multi-scale features.
+
+TPU design: fixed per-level voxel capacities, gather-GEMM sparse convs
+(ops/sparse_ops.py) and masked BatchNorm (statistics over valid voxels only —
+the reference's BN sees exactly the active set, so masking is required for
+parity, unlike the ragged-free PillarVFE case). Batched via vmap inside the
+module; the dense lookup tables live in HBM per sample.
+
+Hybrid execution (`DENSE_FROM_LEVEL`): TPU random-row gathers are row-count
+bound (~10^8 rows/s measured on v5e), so at the coarser levels — where the
+grid is small and occupancy is high — a DENSE masked conv3d on the MXU beats
+gather-GEMM by a wide margin and is numerically IDENTICAL to the submanifold
+semantics (inactive cells hold zeros; outputs are masked back to the active
+set; strided convs derive the new active set by max-pooling the mask, which
+equals spconv's receptive-field rule). Levels >= DENSE_FROM_LEVEL run dense;
+levels below keep the fixed-capacity gather-GEMM form. DENSE_FROM_LEVEL=1
+(only the full-resolution level sparse) is the inference default.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.sparse_ops import (
+    SparseGrid,
+    build_grid,
+    downsample_active_set,
+    sparse_to_dense,
+    strided_conv,
+    subm_conv,
+)
+
+
+def conv_out_dim(n, k, s, p):
+    return (n + 2 * p - k) // s + 1
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid cells only (torch eps=1e-3, momentum=0.01).
+
+    x: (..., C); valid: (...) bool broadcastable to x's leading dims.
+    """
+
+    features: int
+    epsilon: float = 1e-3
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, x, valid, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        )
+        reduce_axes = tuple(range(x.ndim - 1))
+        if train:
+            m = valid[..., None].astype(x.dtype)
+            n = jnp.clip(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=reduce_axes) / n
+            var = jnp.sum(((x - mean) ** 2) * m, axis=reduce_axes) / n
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return jnp.where(valid[..., None], y, 0.0)
+
+
+class SparseConvParam(nn.Module):
+    """Parameter container for one sparse conv's weights."""
+
+    in_ch: int
+    out_ch: int
+    kernel: tuple = (3, 3, 3)
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = int(np.prod(self.kernel))
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (k, self.in_ch, self.out_ch),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,)) \
+            if self.use_bias else None
+        return w, b
+
+
+class _SparseStack(nn.Module):
+    """Shared machinery for both backbone variants."""
+
+    model_cfg: Any
+    input_channels: int
+    grid_size: tuple          # (nx, ny, nz) from voxelization
+    residual: bool = True
+
+    def setup(self):
+        nx, ny, nz = (int(g) for g in self.grid_size)
+        # spconv_backbone.py:192 — sparse z dim gets +1
+        self.sparse_shape = (nz + 1, ny, nx)
+        cfg = self.model_cfg
+        chans = cfg.get("CHANNELS", [16, 16, 32, 64, 128])
+        self.out_channels = int(cfg.get("OUT_CHANNELS", 128))
+        self.use_bias = bool(cfg.get("USE_BIAS", self.residual))
+        caps = cfg.get("LEVEL_CAPACITIES", None)
+        c0 = int(cfg.get("MAX_VOXELS", 60000))
+        if caps is None:
+            caps = [c0, c0, c0 // 2, c0 // 4, c0 // 8]
+        self.caps = [int(c) for c in caps]
+        self.chans = [int(c) for c in chans]
+
+        # level shapes
+        s1 = self.sparse_shape
+        s2 = tuple(conv_out_dim(n, 3, 2, 1) for n in s1)
+        s3 = tuple(conv_out_dim(n, 3, 2, 1) for n in s2)
+        s4 = (
+            conv_out_dim(s3[0], 3, 2, 0),
+            conv_out_dim(s3[1], 3, 2, 1),
+            conv_out_dim(s3[2], 3, 2, 1),
+        )
+        s_out = (
+            conv_out_dim(s4[0], 3, 2, 0),
+            s4[1],
+            s4[2],
+        )
+        self.level_shapes = [s1, s2, s3, s4, s_out]
+
+        c_in, c1, c2, c3, c4 = self.chans
+        self.w_input = SparseConvParam(self.input_channels, c1)
+        self.blocks1 = self._make_stage(c1, c1, first_stride=None, name=1)
+        self.blocks2 = self._make_stage(c1, c2, first_stride=(2, (1, 1, 1)), name=2)
+        self.blocks3 = self._make_stage(c2, c3, first_stride=(2, (1, 1, 1)), name=3)
+        self.blocks4 = self._make_stage(c3, c4, first_stride=(2, (0, 1, 1)), name=4)
+        self.w_out = SparseConvParam(c4, self.out_channels, kernel=(3, 1, 1))
+
+        self.bn_input = MaskedBatchNorm(c1)
+        self.bn_out = MaskedBatchNorm(self.out_channels)
+
+    def _make_stage(self, cin, cout, first_stride, name):
+        mods = {}
+        if first_stride is not None:
+            mods["down"] = SparseConvParam(cin, cout)
+            mods["down_bn"] = MaskedBatchNorm(cout)
+            cin = cout
+        if self.residual:
+            for b in range(2):
+                mods[f"res{b}_conv1"] = SparseConvParam(cin, cout, use_bias=self.use_bias)
+                mods[f"res{b}_bn1"] = MaskedBatchNorm(cout)
+                mods[f"res{b}_conv2"] = SparseConvParam(cout, cout, use_bias=self.use_bias)
+                mods[f"res{b}_bn2"] = MaskedBatchNorm(cout)
+        else:
+            for b in range(2):
+                mods[f"conv{b}"] = SparseConvParam(cin if b == 0 else cout, cout)
+                mods[f"bn{b}"] = MaskedBatchNorm(cout)
+        return mods
+
+    # ---- forward helpers -------------------------------------------------
+    # A "level" is either ('sparse', grids, feats(B,V,C)) or
+    # ('dense', x(B,nz,ny,nx,C), mask(B,nz,ny,nx)).
+
+    @staticmethod
+    def _dense_conv(x, w, b, kernel, stride, padding):
+        """x (B, nz, ny, nx, Cin); w (K, Cin, Cout) zyx C-order."""
+        kz, ky, kx = kernel
+        cin, cout = w.shape[1], w.shape[2]
+        wk = w.reshape(kz, ky, kx, cin, cout)
+        y = jax.lax.conv_general_dilated(
+            x, wk, window_strides=stride,
+            padding=[(p, p) for p in padding],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if b is not None:
+            y = y + b
+        return y
+
+    @staticmethod
+    def _pool_mask(mask, kernel, stride, padding):
+        m = jax.lax.reduce_window(
+            mask.astype(jnp.float32), 0.0, jax.lax.max,
+            (1,) + tuple(kernel), (1,) + tuple(stride),
+            [(0, 0)] + [(p, p) for p in padding],
+        )
+        return m > 0
+
+    def _to_dense(self, level):
+        kind, a, b = level
+        if kind == "dense":
+            return level
+        grids, feats = a, b
+        x = jax.vmap(sparse_to_dense)(grids, feats)
+        nz, ny, nx = grids.shape
+        ones = jnp.ones(feats.shape[:2] + (1,), jnp.float32)
+        mask = jax.vmap(sparse_to_dense)(grids, ones)[..., 0] > 0
+        return ("dense", x, mask)
+
+    def _subm(self, level, wmod, bnmod, train, kernel=(3, 3, 3),
+              relu=True):
+        w, b = wmod()
+        kind, a, m = level
+        if kind == "sparse":
+            out = jax.vmap(
+                lambda g, f: subm_conv(g, f, w, b, kernel_size=kernel)
+            )(a, m)
+            out = bnmod(out, a.valid, train)
+            return ("sparse", a, nn.relu(out) if relu else out)
+        y = self._dense_conv(a, w, b, kernel, (1, 1, 1),
+                             tuple((k - 1) // 2 for k in kernel))
+        y = jnp.where(m[..., None], y, 0.0)
+        y = bnmod(y, m, train)
+        return ("dense", nn.relu(y) if relu else y, m)
+
+    def _down(self, level, wmod, bnmod, train, out_shape, cap,
+              kernel=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1),
+              dense_out=False):
+        """dense_out: produce the NEXT level densely. A sparse input level is
+        downsampled sparsely first (the strided conv is cheap relative to a
+        dense conv over the fine grid), then its output is densified."""
+        w, b = wmod()
+        kind, a, m = level
+        if kind == "sparse":
+            grids, feats = a, m
+            oc, ov = jax.vmap(
+                lambda g: downsample_active_set(
+                    g, out_shape, cap, kernel_size=kernel, stride=stride,
+                    padding=padding,
+                )
+            )(grids)
+            new_grids = jax.vmap(lambda c, v: build_grid(c, v, out_shape))(oc, ov)
+            out = jax.vmap(
+                lambda gi, f, go: strided_conv(
+                    gi, f, go, w, b, kernel_size=kernel, stride=stride,
+                    padding=padding,
+                )
+            )(grids, feats, new_grids)
+            out = nn.relu(bnmod(out, new_grids.valid, train))
+            level = ("sparse", new_grids, out)
+            return self._to_dense(level) if dense_out else level
+        y = self._dense_conv(a, w, b, kernel, stride, padding)
+        new_mask = self._pool_mask(m, kernel, stride, padding)
+        y = jnp.where(new_mask[..., None], y, 0.0)
+        y = nn.relu(bnmod(y, new_mask, train))
+        return ("dense", y, new_mask)
+
+    def _blocks(self, mods, level, train):
+        if self.residual:
+            for blk in range(2):
+                kind, a, m = level
+                identity = m if kind == "sparse" else a
+                level = self._subm(level, mods[f"res{blk}_conv1"],
+                                   mods[f"res{blk}_bn1"], train)
+                level = self._subm(level, mods[f"res{blk}_conv2"],
+                                   mods[f"res{blk}_bn2"], train, relu=False)
+                kind, a, m = level
+                if kind == "sparse":
+                    out = nn.relu(m + identity)
+                    out = jnp.where(a.valid[..., None], out, 0.0)
+                    level = ("sparse", a, out)
+                else:
+                    out = nn.relu(a + identity)
+                    out = jnp.where(m[..., None], out, 0.0)
+                    level = ("dense", out, m)
+        else:
+            for blk in range(2):
+                level = self._subm(level, mods[f"conv{blk}"],
+                                   mods[f"bn{blk}"], train)
+        return level
+
+    def __call__(self, batch, train: bool):
+        feats = batch["voxel_features"]   # (B, V, C)
+        coords = batch["voxel_coords"]    # (B, V, 3) zyx
+        valid = batch["voxel_mask"]       # (B, V)
+
+        s1, s2, s3, s4, s_out = self.level_shapes
+        dense_from = int(self.model_cfg.get("DENSE_FROM_LEVEL", 1))
+
+        grids = jax.vmap(lambda c, v: build_grid(c, v, s1))(coords, valid)
+        level = ("sparse", grids, feats)
+        if dense_from <= 0:
+            level = self._to_dense(level)
+
+        level = self._subm(level, self.w_input, self.bn_input, train)
+        level = self._blocks(self.blocks1, level, train)
+        lvl1 = level
+
+        level = self._down(level, self.blocks2["down"], self.blocks2["down_bn"],
+                           train, s2, self.caps[2], padding=(1, 1, 1),
+                           dense_out=dense_from <= 1)
+        level = self._blocks(self.blocks2, level, train)
+        lvl2 = level
+
+        level = self._down(level, self.blocks3["down"], self.blocks3["down_bn"],
+                           train, s3, self.caps[3], padding=(1, 1, 1),
+                           dense_out=dense_from <= 2)
+        level = self._blocks(self.blocks3, level, train)
+        lvl3 = level
+
+        level = self._down(level, self.blocks4["down"], self.blocks4["down_bn"],
+                           train, s4, self.caps[4], padding=(0, 1, 1),
+                           dense_out=dense_from <= 3)
+        level = self._blocks(self.blocks4, level, train)
+        lvl4 = level
+
+        level = self._down(level, self.w_out, self.bn_out, train, s_out,
+                           self.caps[4], kernel=(3, 1, 1), stride=(2, 1, 1),
+                           padding=(0, 0, 0), dense_out=dense_from <= 4)
+
+        kind, a, m = level
+        if kind == "sparse":
+            dense = jax.vmap(sparse_to_dense)(a, m)
+        else:
+            dense = a
+        batch["encoded_spconv_tensor"] = dense
+        batch["encoded_spconv_tensor_stride"] = 8
+        batch["multi_scale_3d_features"] = {
+            "x_conv1": lvl1, "x_conv2": lvl2, "x_conv3": lvl3, "x_conv4": lvl4,
+        }
+        return batch
+
+
+class VoxelResBackBone8x(_SparseStack):
+    """Residual variant (spconv_backbone.py:184), used by TransFusion."""
+
+    residual: bool = True
+
+    @property
+    def num_point_features(self):
+        return self.out_channels
+
+
+class VoxelBackBone8x(_SparseStack):
+    """Plain variant (spconv_backbone.py:70), used by SECOND/CenterPoint."""
+
+    residual: bool = False
+
+    @property
+    def num_point_features(self):
+        return self.out_channels

@@ -50,6 +50,7 @@ class AnchorHeadSingle(nn.Module):
     class_names: tuple
     grid_size: tuple
     point_cloud_range: tuple
+    voxel_size: tuple = ()
     predict_boxes_when_training: bool = True
 
     def setup(self):
@@ -133,6 +134,10 @@ class AnchorHeadTools:
             match_height=bool(tac.get("MATCH_HEIGHT", False)),
             norm_by_num_examples=bool(tac.get("NORM_BY_NUM_EXAMPLES", False)),
         )
+
+    def compute_loss(self, out_batch):
+        targets = self.assign(out_batch["gt_boxes"])
+        return self.loss(out_batch, targets)
 
     def loss(self, out_batch, targets):
         cfg = self.model_cfg

@@ -24,8 +24,10 @@ import numpy as np
 
 from ...ops.voxelize import voxelize
 from ..backbones_2d import BACKBONE_2D_REGISTRY, MAP_TO_BEV_REGISTRY
+from ..backbones_3d import BACKBONE_3D_REGISTRY
 from ..dense_heads import DENSE_HEAD_REGISTRY
 from ..dense_heads.anchor_head import make_anchor_head_tools
+from ..dense_heads.transfusion_head import make_transfusion_tools
 from ..post_processing import post_process
 from ..vfe import VFE_REGISTRY
 
@@ -56,6 +58,14 @@ class DetectorModule(nn.Module):
                 grid_size=tuple(self.grid_size),
             )
             modules.append("vfe")
+        if "BACKBONE_3D" in cfg:
+            bb3_cls = BACKBONE_3D_REGISTRY[cfg["BACKBONE_3D"]["NAME"]]
+            self.backbone_3d = bb3_cls(
+                model_cfg=cfg["BACKBONE_3D"],
+                input_channels=self.vfe.output_dim,
+                grid_size=tuple(self.grid_size),
+            )
+            modules.append("backbone_3d")
         if "MAP_TO_BEV" in cfg:
             m2b_cls = MAP_TO_BEV_REGISTRY[cfg["MAP_TO_BEV"]["NAME"]]
             self.map_to_bev = m2b_cls(
@@ -82,6 +92,7 @@ class DetectorModule(nn.Module):
                 class_names=tuple(self.class_names),
                 grid_size=tuple(self.grid_size),
                 point_cloud_range=tuple(self.point_cloud_range),
+                voxel_size=tuple(self.voxel_size),
             )
             modules.append("dense_head")
         self.module_order = tuple(modules)
@@ -123,21 +134,30 @@ class Detector3D:
     head_tools: Any  # AnchorHeadTools or head-specific equivalent
 
     def init(self, rng, example_batch):
-        return self.module.init(rng, example_batch, train=True)
-
-    def apply(self, variables, batch, train: bool = False, **kw):
-        return self.module.apply(variables, batch, train=train, **kw)
-
-    def loss(self, variables, batch):
-        """Pure (variables, batch) -> (loss, (tb_dict, mutated_collections))."""
-        out, mut = self.module.apply(
-            variables, batch, train=True, mutable=["batch_stats"]
+        return self.module.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            example_batch, train=True,
         )
-        targets = self.head_tools.assign(batch["gt_boxes"])
-        loss, tb = self.head_tools.loss(out, targets)
+
+    def apply(self, variables, batch, train: bool = False, rng=None, **kw):
+        rngs = {"dropout": rng} if rng is not None else None
+        return self.module.apply(variables, batch, train=train, rngs=rngs, **kw)
+
+    def loss(self, variables, batch, rng=None):
+        """Pure (variables, batch) -> (loss, (tb_dict, mutated_collections))."""
+        rngs = {"dropout": rng if rng is not None else jax.random.PRNGKey(0)}
+        out, mut = self.module.apply(
+            variables, batch, train=True, mutable=["batch_stats"], rngs=rngs
+        )
+        loss, tb = self.head_tools.compute_loss(out)
         return loss, (tb, mut)
 
-    def post_process(self, out_batch):
+    def post_process(self, out_batch, max_det: int = 256):
+        if "transfusion_preds" in out_batch:
+            # TransFusion decodes its own queries; no dense NMS needed
+            return self.head_tools.get_bboxes(
+                out_batch["transfusion_preds"], max_det=max_det
+            )
         pc = self.post_cfg
         nms_cfg = pc["NMS_CONFIG"]
         return post_process(
@@ -167,11 +187,21 @@ def build_detector(model_cfg, num_class, dataset):
         max_points_per_voxel=int(dataset.max_points_per_voxel),
     )
     head_tools = None
-    if "DENSE_HEAD" in model_cfg and model_cfg["DENSE_HEAD"]["NAME"] == "AnchorHeadSingle":
+    head_name = model_cfg.get("DENSE_HEAD", {}).get("NAME")
+    if head_name == "AnchorHeadSingle":
         head_tools = make_anchor_head_tools(
             model_cfg["DENSE_HEAD"], num_class,
             tuple(int(g) for g in dataset.grid_size),
             tuple(float(v) for v in dataset.point_cloud_range),
+        )
+    elif head_name == "TransFusionHead":
+        head_tools = make_transfusion_tools(
+            model_cfg["DENSE_HEAD"], num_class,
+            tuple(int(g) for g in dataset.grid_size),
+            tuple(float(v) for v in dataset.point_cloud_range),
+            tuple(float(v) for v in dataset.voxel_size),
+            class_names=tuple(dataset.class_names),
+            unknown_labels=tuple(model_cfg["DENSE_HEAD"].get("UNKNOWN_LABELS", ())),
         )
     return Detector3D(
         module=module,

@@ -1,0 +1,242 @@
+"""TPU-native sparse 3D convolution primitives.
+
+Replaces the reference's spconv dependency (pcdet/models/backbones_3d/
+spconv_backbone.py + pcdet/utils/spconv_utils.py under /root/reference) —
+the single biggest kernel work item (SURVEY.md §2.13).
+
+Design (not a port): spconv builds CPU rulebooks with dynamic shapes; on TPU
+we keep a FIXED-capacity active-voxel list per level and a dense int32
+index table ("hash") in HBM mapping linear cell id -> slot. Convolutions
+become, per kernel offset, a row gather + a dense (V, Cin) x (Cin, Cout)
+matmul on the MXU + a masked accumulate. Submanifold convs reuse the level's
+table; strided convs first build the next level's active set exactly like
+spconv does (any output cell whose receptive field touches an active input is
+active) via a candidate-expansion + sort-unique — the same machinery as
+ops/voxelize.py.
+
+All functions are batchless (single sample); batch via jax.vmap.
+Coordinates are zyx int32 like spconv, -1 rows = padding.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("coords", "valid", "table"),
+    meta_fields=("shape",),
+)
+@dataclass(frozen=True)
+class SparseGrid:
+    """Active-set representation of one resolution level. `shape` is static
+    pytree metadata so SparseGrid maps cleanly through vmap/jit."""
+
+    coords: jax.Array   # (V, 3) int32 zyx, -1 padding
+    valid: jax.Array    # (V,) bool
+    table: jax.Array    # (nz*ny*nx + 1,) int32 slot index, -1 empty; [-1] sentinel
+    shape: tuple        # (nz, ny, nx) static
+
+
+def linear_id(coords, shape):
+    """(V, 3) zyx -> (V,) linear id; invalid/out-of-grid -> sentinel (last)."""
+    nz, ny, nx = shape
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    inside = (
+        (z >= 0) & (z < nz) & (y >= 0) & (y < ny) & (x >= 0) & (x < nx)
+    )
+    lin = (z * ny + y) * nx + x
+    return jnp.where(inside, lin, nz * ny * nx), inside
+
+
+def build_grid(coords, valid, shape) -> SparseGrid:
+    """Builds the dense lookup table for an active set."""
+    nz, ny, nx = (int(s) for s in shape)
+    n_cells = nz * ny * nx
+    lin, inside = linear_id(coords, (nz, ny, nx))
+    lin = jnp.where(valid & inside, lin, n_cells)
+    table = jnp.full((n_cells + 1,), -1, jnp.int32)
+    slots = jnp.arange(coords.shape[0], dtype=jnp.int32)
+    table = table.at[lin].set(jnp.where(valid & inside, slots, -1))
+    table = table.at[n_cells].set(-1)  # sentinel stays empty
+    return SparseGrid(coords=coords, valid=valid & inside, table=table,
+                      shape=(nz, ny, nx))
+
+
+def _kernel_offsets(kernel_size: Sequence[int]):
+    """(K, 3) zyx offsets, centered (e.g. 3x3x3 -> -1..1), C-order —
+    matching the weight layout (kz, ky, kx) flattened."""
+    kz, ky, kx = kernel_size
+    oz, oy, ox = np.meshgrid(
+        np.arange(kz) - (kz - 1) // 2,
+        np.arange(ky) - (ky - 1) // 2,
+        np.arange(kx) - (kx - 1) // 2,
+        indexing="ij",
+    )
+    return np.stack([oz, oy, ox], axis=-1).reshape(-1, 3).astype(np.int32)
+
+
+def subm_conv(grid: SparseGrid, features, weights, bias=None,
+              kernel_size=(3, 3, 3)):
+    """Submanifold sparse conv: output active set == input active set.
+
+    features: (V, Cin); weights: (K, Cin, Cout) with K = prod(kernel_size)
+    in zyx C-order; returns (V, Cout).
+    """
+    offsets = jnp.asarray(_kernel_offsets(kernel_size))  # (K, 3)
+    k = offsets.shape[0]
+    v, cin = features.shape
+    cout = weights.shape[-1]
+    feats_ext = jnp.concatenate(
+        [features, jnp.zeros((1, cin), features.dtype)], axis=0
+    )  # slot V = zero row for missing neighbors
+
+    def body(carry, inputs):
+        off, w = inputs
+        nbr = grid.coords + off[None, :]
+        lin, _ = linear_id(nbr, grid.shape)
+        slot = grid.table[lin]               # (V,) -1 if absent
+        slot = jnp.where(slot >= 0, slot, v)
+        gathered = feats_ext[slot]           # (V, Cin)
+        return carry + jnp.dot(gathered, w, preferred_element_type=carry.dtype, precision=jax.lax.Precision.HIGHEST), None
+
+    out0 = jnp.zeros((v, cout), dtype=jnp.promote_types(features.dtype, jnp.float32))
+    out, _ = jax.lax.scan(body, out0, (offsets, weights))
+    if bias is not None:
+        out = out + bias[None, :]
+    out = jnp.where(grid.valid[:, None], out, 0.0)
+    return out.astype(features.dtype)
+
+
+def downsample_active_set(grid: SparseGrid, out_shape, max_out: int,
+                          kernel_size=(3, 3, 3), stride=(2, 2, 2),
+                          padding=(1, 1, 1)):
+    """Exact spconv active-set for a strided sparse conv: output cell o is
+    active iff any input cell in its receptive field (stride*o + k - pad)
+    is active. Returns (out_coords (Vo, 3), out_valid (Vo,)).
+
+    Candidates per input cell per axis: o in
+    [ceil((i + pad - ks + 1)/s), floor((i + pad)/s)] — at most 2 for the
+    k3s2p1 layers used here; we expand to the static max and dedupe.
+    """
+    kz, ky, kx = kernel_size
+    sz, sy, sx = stride
+    pz, py, px = padding
+
+    def axis_candidates(i, ks, s, p, n_out):
+        lo = jnp.ceil((i + p - ks + 1) / s).astype(jnp.int32)
+        hi = jnp.floor((i + p) / s).astype(jnp.int32)
+        # static max candidates per axis
+        max_c = (ks + s - 1) // s + 1
+        cand = lo[:, None] + jnp.arange(max_c)[None, :]
+        ok = (cand <= hi[:, None]) & (cand >= 0) & (cand < n_out)
+        return cand, ok  # (V, max_c)
+
+    nz_o, ny_o, nx_o = (int(s) for s in out_shape)
+    cz, okz = axis_candidates(grid.coords[:, 0], kz, sz, pz, nz_o)
+    cy, oky = axis_candidates(grid.coords[:, 1], ky, sy, py, ny_o)
+    cx, okx = axis_candidates(grid.coords[:, 2], kx, sx, px, nx_o)
+
+    # outer product of per-axis candidates -> (V, mz*my*mx, 3)
+    mz, my, mx = cz.shape[1], cy.shape[1], cx.shape[1]
+    zz = jnp.broadcast_to(cz[:, :, None, None], (cz.shape[0], mz, my, mx))
+    yy = jnp.broadcast_to(cy[:, None, :, None], (cy.shape[0], mz, my, mx))
+    xx = jnp.broadcast_to(cx[:, None, None, :], (cx.shape[0], mz, my, mx))
+    ok = (
+        okz[:, :, None, None] & oky[:, None, :, None] & okx[:, None, None, :]
+    ) & grid.valid[:, None, None, None]
+    cand = jnp.stack([zz, yy, xx], axis=-1).reshape(-1, 3)
+    ok = ok.reshape(-1)
+
+    n_cells = nz_o * ny_o * nx_o
+    lin = (cand[:, 0] * ny_o + cand[:, 1]) * nx_o + cand[:, 2]
+    lin = jnp.where(ok, lin, n_cells)
+
+    order = jnp.argsort(lin)
+    lin_sorted = lin[order]
+    is_real = lin_sorted < n_cells
+    newseg = jnp.concatenate(
+        [is_real[:1], (lin_sorted[1:] != lin_sorted[:-1]) & is_real[1:]]
+    )
+    slot = jnp.cumsum(newseg.astype(jnp.int32)) - 1
+    keep = newseg & (slot < max_out)
+
+    out_coords = jnp.full((max_out + 1, 3), -1, jnp.int32)
+    cand_sorted = cand[order]
+    write_slot = jnp.where(keep, slot, max_out)
+    out_coords = out_coords.at[write_slot].set(
+        jnp.where(keep[:, None], cand_sorted, -1)
+    )[:max_out]
+    num_out = jnp.minimum(jnp.sum(newseg), max_out)
+    out_valid = jnp.arange(max_out) < num_out
+    return out_coords, out_valid
+
+
+def strided_conv(grid_in: SparseGrid, features, grid_out: SparseGrid,
+                 weights, bias=None, kernel_size=(3, 3, 3),
+                 stride=(2, 2, 2), padding=(1, 1, 1)):
+    """Strided ("spconv") sparse conv from grid_in onto grid_out's active set.
+
+    For each output cell o and kernel tap k: input cell = stride*o + k - pad.
+    features: (Vi, Cin); weights: (K, Cin, Cout); returns (Vo, Cout).
+    """
+    offsets = jnp.asarray(_kernel_offsets(kernel_size))  # centered taps
+    center = jnp.asarray(
+        [(kernel_size[0] - 1) // 2, (kernel_size[1] - 1) // 2,
+         (kernel_size[2] - 1) // 2], jnp.int32
+    )
+    stride_a = jnp.asarray(stride, jnp.int32)
+    pad_a = jnp.asarray(padding, jnp.int32)
+
+    vi, cin = features.shape
+    vo = grid_out.coords.shape[0]
+    cout = weights.shape[-1]
+    feats_ext = jnp.concatenate(
+        [features, jnp.zeros((1, cin), features.dtype)], axis=0
+    )
+
+    def body(carry, inputs):
+        off, w = inputs
+        # tap index k = off + center; input cell = stride*o + k - pad
+        in_coord = grid_out.coords * stride_a[None, :] + (
+            off + center
+        )[None, :] - pad_a[None, :]
+        lin, _ = linear_id(in_coord, grid_in.shape)
+        slot = grid_in.table[lin]
+        slot = jnp.where(slot >= 0, slot, vi)
+        gathered = feats_ext[slot]
+        return carry + jnp.dot(gathered, w, preferred_element_type=carry.dtype, precision=jax.lax.Precision.HIGHEST), None
+
+    out0 = jnp.zeros((vo, cout), dtype=jnp.promote_types(features.dtype, jnp.float32))
+    out, _ = jax.lax.scan(body, out0, (offsets, weights))
+    if bias is not None:
+        out = out + bias[None, :]
+    out = jnp.where(grid_out.valid[:, None], out, 0.0)
+    return out.astype(features.dtype)
+
+
+def sparse_to_dense(grid: SparseGrid, features):
+    """(V, C) active features -> dense (nz, ny, nx, C)."""
+    nz, ny, nx = grid.shape
+    c = features.shape[-1]
+    lin, _ = linear_id(grid.coords, grid.shape)
+    lin = jnp.where(grid.valid, lin, nz * ny * nx)
+    dense = jnp.zeros((nz * ny * nx + 1, c), features.dtype)
+    dense = dense.at[lin].set(jnp.where(grid.valid[:, None], features, 0.0))
+    return dense[:-1].reshape(nz, ny, nx, c)
+
+
+def masked_batch_stats(features, valid):
+    """Mean/var over valid rows only (for masked BatchNorm)."""
+    m = valid[:, None].astype(features.dtype)
+    n = jnp.clip(jnp.sum(m), 1.0)
+    mean = jnp.sum(features * m, axis=0) / n
+    var = jnp.sum(((features - mean) ** 2) * m, axis=0) / n
+    return mean, var

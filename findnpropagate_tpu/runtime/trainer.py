@@ -45,15 +45,16 @@ def make_train_step(detector, tx, mesh=None, donate=True):
     (optionally) sharded: params replicated, batch sharded on its leading
     axis over the mesh's 'data' axis."""
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        loss, (tb, mut) = detector.loss(variables, batch)
+        loss, (tb, mut) = detector.loss(variables, batch, rng=rng)
         return loss, (tb, mut.get("batch_stats", batch_stats))
 
     def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (tb, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, batch, rng
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
