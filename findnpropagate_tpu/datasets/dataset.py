@@ -52,6 +52,7 @@ class DatasetTemplate:
         caps = dataset_cfg.get("CAPACITIES", {})
         self.max_points = int(caps.get("MAX_POINTS", 60000))
         self.max_gt = int(caps.get("MAX_GT", 128))
+        self.max_pseudo = int(caps.get("MAX_PSEUDO", 64))
         self.max_voxels = int(caps.get("MAX_VOXELS", 40000))
         self.max_points_per_voxel = int(caps.get("MAX_POINTS_PER_VOXEL", 32))
 
@@ -105,6 +106,10 @@ class DatasetTemplate:
         points_mask = np.zeros((b, self.max_points), dtype=bool)
         gt_boxes = np.zeros((b, self.max_gt, 8), dtype=np.float32)
         frame_ids = []
+        has_pseudo = any(s.get("pseudo_boxes") is not None for s in batch_list)
+        if has_pseudo:
+            pseudo_boxes = np.zeros((b, self.max_pseudo, 8), dtype=np.float32)
+            pseudo_samples_mask = np.zeros((b, self.max_pseudo), dtype=bool)
         for i, s in enumerate(batch_list):
             pts = s["points"][: self.max_points]
             points[i, : len(pts)] = pts
@@ -112,6 +117,13 @@ class DatasetTemplate:
             if s.get("gt_boxes") is not None:
                 g = s["gt_boxes"][: self.max_gt]
                 gt_boxes[i, : len(g), : g.shape[-1]] = g
+            if has_pseudo and s.get("pseudo_boxes") is not None:
+                p = np.asarray(s["pseudo_boxes"])[: self.max_pseudo]
+                pseudo_boxes[i, : len(p), : p.shape[-1]] = p
+                sm = s.get("pseudo_samples_mask")
+                if sm is not None:
+                    sm = np.asarray(sm)[: self.max_pseudo]
+                    pseudo_samples_mask[i, : len(sm)] = sm
             frame_ids.append(s.get("frame_id", i))
         batch = {
             "points": points,
@@ -120,6 +132,15 @@ class DatasetTemplate:
             "batch_size": b,
             "frame_id": frame_ids,
         }
+        if has_pseudo:
+            batch["pseudo_boxes"] = pseudo_boxes
+            batch["pseudo_samples_mask"] = pseudo_samples_mask
+        # camera matrices for the OV pipeline (stacked when present)
+        for key in ("lidar2image", "camera2lidar", "camera_intrinsics"):
+            if all(key in s for s in batch_list):
+                batch[key] = np.stack(
+                    [np.asarray(s[key], np.float32) for s in batch_list]
+                )
         return batch
 
     def __len__(self):

@@ -212,6 +212,7 @@ class TransFusionTools:
     voxel_size: tuple
     class_names: tuple = ()
     unknown_labels: tuple = ()  # 1-indexed labels treated as pseudo/unknown
+    relabel_lut: tuple = ()     # known-label -> full-label LUT (index 0 = 0)
 
     @property
     def code_size(self):
@@ -376,7 +377,39 @@ class TransFusionTools:
             "heatmap": heatmap, "unknown_mask": unk,
         }
 
+    def merge_pseudos(self, gt_boxes, pseudo_boxes):
+        """Device-side GT+pseudo merge (USE_PSEUDO path,
+        transfusion_head.py:330-332 + pseudo_processor.combine): relabel the
+        known-space GT labels into the full class space via the LUT, then
+        concatenate the padded pseudo boxes (zero rows stay padding)."""
+        gt = gt_boxes
+        if self.relabel_lut:
+            lut = jnp.asarray(self.relabel_lut, jnp.int32)
+            labels = jnp.clip(gt[..., -1].astype(jnp.int32), 0, len(lut) - 1)
+            gt = gt.at[..., -1].set(
+                jnp.where(gt[..., -1] > 0, lut[labels].astype(gt.dtype), 0.0)
+            )
+        c = gt.shape[-1]
+        pseudo = pseudo_boxes[..., :c]
+        if pseudo_boxes.shape[-1] < c:
+            # pseudo (B, M, 8): widen to gt code size, keeping label last
+            pad = jnp.zeros(
+                pseudo_boxes.shape[:-1] + (c - pseudo_boxes.shape[-1],),
+                gt.dtype,
+            )
+            pseudo = jnp.concatenate(
+                [pseudo_boxes[..., :-1], pad, pseudo_boxes[..., -1:]], axis=-1
+            )
+        return jnp.concatenate([gt, pseudo], axis=1)
+
     def compute_loss(self, out_batch):
+        if "pseudo_boxes" in out_batch and out_batch["pseudo_boxes"] is not None:
+            merged = self.merge_pseudos(
+                jnp.asarray(out_batch["gt_boxes"]),
+                jnp.asarray(out_batch["pseudo_boxes"]),
+            )
+            out_batch = dict(out_batch)
+            out_batch["gt_boxes"] = merged
         return self.loss(out_batch)
 
     def loss(self, batch, targets=None):
@@ -490,7 +523,8 @@ class TransFusionTools:
 
 
 def make_transfusion_tools(model_cfg, num_class, grid_size, point_cloud_range,
-                           voxel_size, class_names=(), unknown_labels=()):
+                           voxel_size, class_names=(), unknown_labels=(),
+                           relabel_lut=()):
     return TransFusionTools(
         model_cfg=model_cfg,
         num_classes=int(model_cfg.get("NUM_CLASSES", num_class)),
@@ -499,4 +533,5 @@ def make_transfusion_tools(model_cfg, num_class, grid_size, point_cloud_range,
         voxel_size=tuple(float(v) for v in voxel_size),
         class_names=tuple(class_names),
         unknown_labels=tuple(unknown_labels),
+        relabel_lut=tuple(relabel_lut),
     )

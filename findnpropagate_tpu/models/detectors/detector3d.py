@@ -195,13 +195,25 @@ def build_detector(model_cfg, num_class, dataset):
             tuple(float(v) for v in dataset.point_cloud_range),
         )
     elif head_name == "TransFusionHead":
+        head_cfg = model_cfg["DENSE_HEAD"]
+        unknown_labels = tuple(head_cfg.get("UNKNOWN_LABELS", ()))
+        relabel_lut = tuple(head_cfg.get("RELABEL_LUT", ()))
+        if "KNOWN_CLASS_NAMES" in head_cfg and "FULL_CLASS_NAMES" in head_cfg:
+            known = list(head_cfg["KNOWN_CLASS_NAMES"])
+            full = list(head_cfg["FULL_CLASS_NAMES"])
+            lut = [0] + [full.index(n) + 1 for n in known]
+            relabel_lut = tuple(lut)
+            unknown_labels = tuple(
+                i + 1 for i, n in enumerate(full) if n not in known
+            )
         head_tools = make_transfusion_tools(
-            model_cfg["DENSE_HEAD"], num_class,
+            head_cfg, num_class,
             tuple(int(g) for g in dataset.grid_size),
             tuple(float(v) for v in dataset.point_cloud_range),
             tuple(float(v) for v in dataset.voxel_size),
             class_names=tuple(dataset.class_names),
-            unknown_labels=tuple(model_cfg["DENSE_HEAD"].get("UNKNOWN_LABELS", ())),
+            unknown_labels=unknown_labels,
+            relabel_lut=relabel_lut,
         )
     return Detector3D(
         module=module,

@@ -1,0 +1,321 @@
+"""Greedy Box Seeker + Greedy Box Oracle (FrustumProposerOG).
+
+Behavioral parity with pcdet/models/dense_heads/frustum_proposals_v1.py:142-
+1573 (/root/reference): per cached 2D VLM detection —
+  2D NMS -> points-in-2D-box depth quantiles (lq/uq/cq) -> camera frustum
+  corners lifted to LiDAR -> anchor-set proposals (per-class size anchors x
+  size scales x yaws x depth magnitudes along the frustum axis) -> front-
+  centering via softmin over corner distances -> Oracle scoring
+  (back-projected 2D IoU + point density + center-distance rank, weighted
+  sum) -> axis-aligned NMS -> top-k pseudo boxes.
+
+TPU redesign: the reference runs ~700 lines of per-box Python (SURVEY.md §7
+hard part #3). Here the whole seeker is ONE fixed-shape jitted program
+vmapped over a padded detection list: every detection carries masks instead
+of early-continues, per-camera projections are computed once, and masked
+quantiles/sorts replace dynamic subsetting.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nms import nms_normal_bev
+from ..utils.geometry import boxes_to_corners_3d, points_in_boxes_mask
+from .camera import (
+    boxes_2d_iou,
+    get_cam_frustum,
+    get_geometry_at_image_coords,
+    masked_quantile,
+    nms_2d,
+    project_to_camera,
+)
+
+# nuScenes per-class size anchors (frustum_proposals_v1.py:270-281)
+NUSCENES_ANCHORS = np.array(
+    [
+        [4.63, 1.97, 1.74],
+        [6.93, 2.51, 2.84],
+        [6.37, 2.85, 3.19],
+        [10.5, 2.94, 3.47],
+        [12.29, 2.90, 3.87],
+        [0.50, 2.53, 0.98],
+        [2.11, 0.77, 1.47],
+        [1.70, 0.60, 1.28],
+        [0.73, 0.67, 1.77],
+        [0.41, 0.41, 1.07],
+    ],
+    dtype=np.float32,
+)
+
+
+class SeekerOutput(NamedTuple):
+    boxes: jax.Array    # (D, 7) one proposal per 2D detection (topk=1)
+    scores: jax.Array   # (D,) the 2D detection score
+    oracle: jax.Array   # (D,) oracle score of the kept proposal
+    labels: jax.Array   # (D,) int32 1-indexed class
+    valid: jax.Array    # (D,) bool
+
+
+@dataclass(frozen=True)
+class FrustumProposerOG:
+    """Config container + jitted seeker. Defaults = reference defaults
+    (frustum_proposals_v1.py:146-148 and nuscenes_box_seeker cfg)."""
+
+    class_names: tuple
+    anchors: tuple = tuple(map(tuple, NUSCENES_ANCHORS.tolist()))
+    lq: float = 0.336
+    uq: float = 0.356
+    cq: float = 0.46
+    iou_w: float = 0.95
+    dst_w: float = 0.226
+    dns_w: float = 0.05
+    min_cam_iou: float = 0.3
+    size_min: float = 0.957
+    size_max: float = 1.2
+    ry_min: float = 0.0
+    ry_max: float = float(np.pi)
+    num_mags: int = 6
+    num_sizes: int = 4
+    num_rotations: int = 10
+    max_dist: float = 50.0
+    topk: int = 1
+    nms_2d_thresh: float = 0.7
+    nms_normal: float = 0.7
+    score_thr: float = 0.1
+    frustum_min: float = 2.0
+    image_size: tuple = (900, 1600)
+
+    @classmethod
+    def from_config(cls, model_cfg, class_names):
+        p = dict(model_cfg.get("PARAMS", {}))
+        kw = {}
+        remap = {"nms_2d": "nms_2d_thresh", "score_thr": "score_thr"}
+        for k, v in p.items():
+            key = remap.get(k, k)
+            if key in cls.__dataclass_fields__:
+                kw[key] = v
+        return cls(class_names=tuple(class_names), **kw)
+
+    # ---- static precomputes ----
+
+    def base_boxes(self):
+        """(num_class, R*S, 7) proposal templates (zero-centered)."""
+        anchors = np.asarray(self.anchors, np.float32)
+        sizes = np.linspace(self.size_min, self.size_max, self.num_sizes)
+        rots = np.linspace(self.ry_min, self.ry_max, self.num_rotations)
+        n_cls = anchors.shape[0]
+        base = np.zeros((n_cls, self.num_rotations, self.num_sizes, 7), np.float32)
+        base[:, :, :, 3:6] = anchors[:, None, None, :]
+        base[:, :, :, 6] = rots[None, :, None]
+        base[:, :, :, 3:6] *= sizes[None, None, :, None]
+        return base.reshape(n_cls, -1, 7)
+
+    # ---- the seeker program ----
+
+    def propose(self, points, points_mask, det_boxes, det_labels, det_scores,
+                det_cams, det_mask, lidar2image, camera2lidar, intrinsics,
+                lidar_aug_matrix=None):
+        """Single sample.
+
+        points (P, >=3); det_* (D, ...) padded 2D detections (labels
+        1-indexed, cams 0..5, boxes xyxy); matrices (NCAM, 4, 4).
+        Returns SeekerOutput with D slots.
+        """
+        pts = points[:, :3]
+        ncam = lidar2image.shape[0]
+
+        # per-camera projections of all points (once)
+        cam_coords, on_img = project_to_camera(
+            pts, lidar2image, lidar_aug_matrix, self.image_size
+        )  # (NCAM, P, 3), (NCAM, P)
+        on_img = on_img & points_mask[None, :]
+
+        # lift all points per camera back to lidar (identity for real points,
+        # but needed as box_points_xyz uses the same pipeline; reuse raw pts)
+        # reference lifts (u, v, depth) back through the camera — equals the
+        # original lidar point, so we use pts directly.
+
+        # per-camera per-class 2D NMS over detections (batched_nms, :587)
+        keep = jnp.zeros_like(det_mask)
+        for c in range(ncam):
+            m = det_mask & (det_cams == c) & (det_scores >= self.score_thr)
+            k = nms_2d(det_boxes, det_scores, det_labels,
+                       self.nms_2d_thresh, valid=m)
+            keep = keep | (k & m)
+
+        extra_rots = None
+        extra_trans = None
+        if lidar_aug_matrix is not None:
+            extra_rots = lidar_aug_matrix[:3, :3]
+            extra_trans = lidar_aug_matrix[:3, 3]
+
+        base_boxes = jnp.asarray(self.base_boxes())       # (C, RS, 7)
+        base_corners = jnp.asarray(
+            boxes_to_corners_3d(base_boxes.reshape(-1, 7))
+        ).reshape(base_boxes.shape[0], -1, 8, 3)
+
+        h_img, w_img = self.image_size
+
+        def per_det(box, label, score, cam, kept):
+            cls = jnp.clip(label - 1, 0)
+            x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+            uvd = cam_coords[cam]           # (P, 3)
+            mask_cam = on_img[cam]
+            on_box = (
+                mask_cam
+                & (uvd[:, 1] < y2) & (uvd[:, 1] >= y1)
+                & (uvd[:, 0] < x2) & (uvd[:, 0] >= x1)
+            )
+            n_box_pts = jnp.sum(on_box)
+            depths = uvd[:, 2]
+            fmin = jnp.maximum(masked_quantile(depths, on_box, self.lq),
+                               self.frustum_min)
+            fmax = jnp.minimum(masked_quantile(depths, on_box, self.uq),
+                               self.max_dist)
+            cz = masked_quantile(depths, on_box, self.cq)
+
+            cam_rot = camera2lidar[cam, :3, :3]
+            cam_tr = camera2lidar[cam, :3, 3]
+            intr = intrinsics[cam, :3, :3]
+
+            def lift(img_pts):
+                l = img_pts.shape[0]
+                return get_geometry_at_image_coords(
+                    img_pts,
+                    jnp.broadcast_to(cam_rot, (l, 3, 3)),
+                    jnp.broadcast_to(cam_tr, (l, 3)),
+                    jnp.broadcast_to(intr, (l, 3, 3)),
+                    extra_rots=extra_rots, extra_trans=extra_trans,
+                )
+
+            centre_xyz = lift(
+                jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2, cz])[None]
+            )[0]
+
+            frust_corners_img = get_cam_frustum(
+                jnp.stack([x1, y1, fmin, x2, y2, fmax])
+            )  # (8, 3)
+            frust_box = lift(frust_corners_img)  # (8, 3) lidar
+
+            # bev box: mean of vertical corner pairs (:826)
+            frust_bev = jnp.stack(
+                [(frust_box[2 * i] + frust_box[2 * i + 1]) / 2 for i in range(4)]
+            )
+            close = (frust_bev[0] + frust_bev[1]) / 2
+            far = (frust_bev[2] + frust_bev[3]) / 2
+            mags = jnp.linspace(0.0, 1.0, self.num_mags)[:, None]
+            centers = close[None, :] + (far - close)[None, :] * mags  # (M, 3)
+
+            corners = base_corners[cls][None] + centers[:, None, None, :]
+            boxes3d = jnp.broadcast_to(
+                base_boxes[cls][None], (self.num_mags,) + base_boxes[cls].shape
+            )
+            boxes3d = jnp.concatenate(
+                [boxes3d[..., :3] + centers[:, None, :], boxes3d[..., 3:]],
+                axis=-1,
+            )
+            corners = corners.reshape(-1, 8, 3)
+            boxes3d = boxes3d.reshape(-1, 7)
+            n_prop = boxes3d.shape[0]
+
+            # front-centering: softmin over corner distance to ego (:860-868)
+            rank = jax.nn.softmax(-jnp.linalg.norm(corners, axis=2), axis=1)
+            wfc = jnp.sum(rank[..., None] * corners, axis=1)  # (N, 3)
+            shift = boxes3d[:, :3] - wfc
+            boxes3d = boxes3d.at[:, :3].add(shift)
+            corners = corners + shift[:, None, :]
+
+            prop_valid = jnp.linalg.norm(wfc, axis=-1) < self.max_dist
+
+            # oracle: back-projected 2D IoU (:1392-1411)
+            pc, _ = project_to_camera(
+                corners.reshape(-1, 3), lidar2image[cam][None],
+                lidar_aug_matrix, self.image_size,
+            )
+            uv = pc[0, :, :2].reshape(n_prop, 8, 2)
+            uv = jnp.stack(
+                [jnp.clip(uv[..., 0], 0, w_img), jnp.clip(uv[..., 1], 0, h_img)],
+                axis=-1,
+            )
+            proj_boxes = jnp.concatenate(
+                [uv.min(axis=1), uv.max(axis=1)], axis=-1
+            )
+            ious = boxes_2d_iou(proj_boxes, box[None])[:, 0]
+
+            # distance rank to the lifted 2D-box center (:884-897)
+            d = jnp.linalg.norm(wfc - centre_xyz[None, :], axis=-1)
+            d_min = jnp.min(jnp.where(prop_valid, d, jnp.inf))
+            d_max = jnp.max(jnp.where(prop_valid, d, -jnp.inf))
+            dists_ranked = 1 - (d - d_min) / (d_max - d_min + 1e-8)
+
+            prop_valid = prop_valid & (ious > self.min_cam_iou)
+
+            # density: points-in-boxes count of the on-box points (:920-994)
+            inside = points_in_boxes_mask(pts, boxes3d)  # (N, P)
+            counts = jnp.sum(inside & on_box[None, :], axis=1).astype(jnp.float32)
+            max_count = jnp.max(jnp.where(prop_valid, counts, 0.0))
+            soft_density = counts / (max_count + 1e-8)
+
+            oracle = (
+                soft_density * self.dns_w
+                + ious * self.iou_w
+                + dists_ranked * self.dst_w
+            )
+            oracle = jnp.where(prop_valid, oracle, -1e9)
+
+            # axis-aligned NMS + top-1 (:1030-1045; topk=1)
+            idx, num = nms_normal_bev(
+                boxes3d, oracle, self.nms_normal,
+                pre_maxsize=n_prop, post_maxsize=1,
+                valid_mask=prop_valid,
+            )
+            best = jnp.clip(idx[0], 0)
+            ok = kept & (idx[0] >= 0) & (n_box_pts > 0)
+            return boxes3d[best], oracle[best], ok
+
+        boxes_o, oracle_o, valid_o = jax.vmap(per_det)(
+            det_boxes, det_labels, det_scores,
+            jnp.clip(det_cams, 0), keep,
+        )
+        return SeekerOutput(
+            boxes=boxes_o,
+            scores=det_scores,
+            oracle=oracle_o,
+            labels=det_labels.astype(jnp.int32),
+            valid=valid_o,
+        )
+
+    def propose_batch(self, batch):
+        """Batched entry: expects padded per-sample arrays in `batch`:
+        points (B, P, 3+), points_mask, det_boxes (B, D, 4), det_labels,
+        det_scores, det_cams, det_mask, lidar2image (B, NCAM, 4, 4),
+        camera2lidar, camera_intrinsics, optional lidar_aug_matrix (B, 4, 4).
+        """
+        lam = batch.get("lidar_aug_matrix")
+
+        def one(i_args):
+            (pts, pm, db, dl, dsc, dc, dm, l2i, c2l, intr, la) = i_args
+            return self.propose(pts, pm, db, dl, dsc, dc, dm, l2i, c2l, intr,
+                                lidar_aug_matrix=la)
+
+        b = batch["points"].shape[0]
+        lam_arr = lam if lam is not None else jnp.broadcast_to(
+            jnp.eye(4), (b, 4, 4)
+        )
+        return jax.vmap(
+            lambda pts, pm, db, dl, dsc, dc, dm, l2i, c2l, intr, la:
+            self.propose(pts, pm, db, dl, dsc, dc, dm, l2i, c2l, intr, la)
+        )(
+            batch["points"][..., :3], batch["points_mask"],
+            batch["det_boxes"], batch["det_labels"], batch["det_scores"],
+            batch["det_cams"], batch["det_mask"],
+            batch["lidar2image"], batch["camera2lidar"],
+            batch["camera_intrinsics"], lam_arr,
+        )

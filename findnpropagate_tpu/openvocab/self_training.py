@@ -1,0 +1,119 @@
+"""Self-training orchestration ("Propagate") — train_model_st equivalent.
+
+Parity with tools/train_utils/train_utils.py:327-465 (/root/reference):
+per epoch, once past ST_WARMUP and on every ST_INTERVAL, run the current
+model over the (augmentation-stripped) train split, optionally relabel
+unknowns with CLIP/GLIP, and save per-frame pseudo labels
+(PseudoProcessor.save_predictions); training epochs then consume them
+through the PseudoLoader augmentor hooks and the head merges them via
+PseudoProcessor.combine_gt_with_pseudos with unknown down-weighting.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..datasets.augmentor.data_augmentor import register_extra
+from ..parallel.mesh import shard_batch
+from ..runtime.trainer import make_eval_step, save_checkpoint
+from .pseudo_labels import PseudoLoader, PseudoProcessor
+
+
+def register_pseudo_hooks(loader: PseudoLoader):
+    """Register the reference's augmentor hook names
+    (data_augmentor.py:327-361) against a PseudoLoader instance."""
+    register_extra(
+        "load_frustum_pseudos",
+        lambda cfg, aug: loader.load_frustum_pseudos,
+    )
+    register_extra(
+        "load_selftrain_pseudos",
+        lambda cfg, aug: loader.load_selftrain_pseudos,
+    )
+    register_extra(
+        "unknowns_copy_paste",
+        lambda cfg, aug: loader.unknowns_copy_paste,
+    )
+
+
+def pseudo_labels_exist(processor: PseudoProcessor, epoch: int) -> bool:
+    """Epoch-stamp check preventing re-extraction after restart
+    (train_utils.py:16-34)."""
+    return processor.store is not None and processor.store.stamped_epoch() == epoch
+
+
+def extract_pseudo_labels(detector, variables, inference_loader, processor,
+                          epoch, logger=None, relabeler=None,
+                          max_batches=None):
+    """Run the model over the train split and save pseudo labels
+    (train_utils.py:36-123)."""
+    eval_step = make_eval_step(detector)
+    emit = logger.info if logger else print
+    t0 = time.time()
+    n = 0
+    for bi, batch in enumerate(inference_loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        frame_ids = batch.pop("frame_id", None)
+        batch.pop("batch_size", None)
+        dets = eval_step(variables, batch)
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        labels = np.asarray(dets.labels)
+        counts = np.asarray(dets.count)
+        data_dicts = []
+        det_dicts = []
+        for i in range(boxes.shape[0]):
+            k = int(counts[i])
+            b, s, l = boxes[i, :k], scores[i, :k], labels[i, :k]
+            if relabeler is not None and k > 0:
+                l, s = relabeler(b, batch, i, l, s)
+            det_dicts.append(
+                {"pred_boxes": b, "pred_scores": s, "pred_labels": l}
+            )
+            data_dicts.append({"frame_id": frame_ids[i]})
+            n += 1
+        processor.save_predictions(data_dicts, det_dicts)
+    processor.stamp_epoch(epoch)
+    emit(f"extracted pseudo labels for {n} frames in {time.time()-t0:.1f}s")
+
+
+def train_model_st(detector, train_loader, inference_loader, state, tx,
+                   epochs, processor: PseudoProcessor, mesh=None, logger=None,
+                   ckpt_dir=None, st_warmup=3, st_interval=1, relabeler=None,
+                   log_interval=10):
+    """ST epoch driver (train_utils.py:327-449)."""
+    from ..runtime.trainer import make_train_step
+
+    train_step = make_train_step(detector, tx, mesh=mesh)
+    emit = logger.info if logger else print
+    for epoch in range(epochs):
+        if epoch >= st_warmup and (epoch - st_warmup) % st_interval == 0:
+            if not pseudo_labels_exist(processor, epoch):
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                extract_pseudo_labels(
+                    detector, variables, inference_loader, processor, epoch,
+                    logger=logger, relabeler=relabeler,
+                )
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        for it, batch in enumerate(train_loader):
+            batch = shard_batch(mesh, batch) if mesh is not None else batch
+            batch.pop("frame_id", None)
+            batch.pop("batch_size", None)
+            state, metrics = train_step(state, batch)
+            if it % log_interval == 0:
+                emit(
+                    f"st epoch {epoch} it {it}/{len(train_loader)} "
+                    + " ".join(
+                        f"{k}={float(v):.4f}" for k, v in metrics.items()
+                    )
+                )
+        emit(f"st epoch {epoch} done in {time.time()-t0:.1f}s")
+        if ckpt_dir is not None:
+            save_checkpoint(ckpt_dir, state, step=epoch + 1)
+    return state
