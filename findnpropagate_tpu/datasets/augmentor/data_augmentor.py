@@ -47,7 +47,13 @@ class DataAugmentor:
             name = cfg["NAME"]
             if name in disable:
                 continue
-            if name in EXTRA_AUGMENTORS:
+            if name == "gt_sampling":
+                from .database_sampler import DataBaseSampler
+
+                self.queue.append(
+                    DataBaseSampler(cfg, root_path, class_names, logger=logger)
+                )
+            elif name in EXTRA_AUGMENTORS:
                 self.queue.append(EXTRA_AUGMENTORS[name](cfg, self))
             else:
                 self.queue.append(partial(getattr(self, name), config=cfg))

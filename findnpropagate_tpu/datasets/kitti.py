@@ -58,14 +58,16 @@ class KittiDataset(DatasetTemplate):
         return self.prepare_data(data_dict)
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        from .eval_utils import simple_map_eval
+        from .kitti_eval import kitti_eval
 
-        gts = []
-        for info in self.infos:
-            annos = info.get("annos", {})
-            mask = annos.get("name", np.array([])) != "DontCare"
-            gts.append({
-                "gt_boxes": annos.get("gt_boxes_lidar", np.zeros((0, 7)))[: mask.sum()],
-                "gt_names": annos.get("name", np.array([]))[mask],
-            })
-        return simple_map_eval(det_annos, gts, class_names)
+        gt_annos = [info.get("annos", {"name": np.array([])})
+                    for info in self.infos[: len(det_annos)]]
+        # attach class names to detections (labels are 1-indexed)
+        for d in det_annos:
+            if "name" not in d:
+                labels = np.asarray(d.get("labels", []), int)
+                d["name"] = np.asarray(
+                    [class_names[l - 1] if 1 <= l <= len(class_names) else "?"
+                     for l in labels]
+                )
+        return kitti_eval(gt_annos, det_annos, class_names)

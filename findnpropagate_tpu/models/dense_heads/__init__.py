@@ -1,7 +1,9 @@
 from .anchor_head import AnchorHeadSingle
+from .center_head import CenterHead
 from .transfusion_head import TransFusionHead
 
 DENSE_HEAD_REGISTRY = {
     "AnchorHeadSingle": AnchorHeadSingle,
+    "CenterHead": CenterHead,
     "TransFusionHead": TransFusionHead,
 }

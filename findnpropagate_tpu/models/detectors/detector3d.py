@@ -27,6 +27,7 @@ from ..backbones_2d import BACKBONE_2D_REGISTRY, MAP_TO_BEV_REGISTRY
 from ..backbones_3d import BACKBONE_3D_REGISTRY
 from ..dense_heads import DENSE_HEAD_REGISTRY
 from ..dense_heads.anchor_head import make_anchor_head_tools
+from ..dense_heads.center_head import make_center_head_tools
 from ..dense_heads.transfusion_head import make_transfusion_tools
 from ..post_processing import post_process
 from ..vfe import VFE_REGISTRY
@@ -158,6 +159,8 @@ class Detector3D:
             return self.head_tools.get_bboxes(
                 out_batch["transfusion_preds"], max_det=max_det
             )
+        if "center_preds" in out_batch:
+            return self.head_tools.get_bboxes(out_batch)
         pc = self.post_cfg
         nms_cfg = pc["NMS_CONFIG"]
         return post_process(
@@ -188,7 +191,15 @@ def build_detector(model_cfg, num_class, dataset):
     )
     head_tools = None
     head_name = model_cfg.get("DENSE_HEAD", {}).get("NAME")
-    if head_name == "AnchorHeadSingle":
+    if head_name == "CenterHead":
+        head_tools = make_center_head_tools(
+            model_cfg["DENSE_HEAD"], num_class,
+            tuple(int(g) for g in dataset.grid_size),
+            tuple(float(v) for v in dataset.point_cloud_range),
+            tuple(float(v) for v in dataset.voxel_size),
+            class_names=tuple(dataset.class_names),
+        )
+    elif head_name == "AnchorHeadSingle":
         head_tools = make_anchor_head_tools(
             model_cfg["DENSE_HEAD"], num_class,
             tuple(int(g) for g in dataset.grid_size),

@@ -133,22 +133,25 @@ def restore_checkpoint(path, state: TrainState) -> TrainState:
 
 def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
                  ckpt_dir=None, log_interval=10, ckpt_save_interval=1,
-                 start_epoch=0, hooks=None):
+                 start_epoch=0, hooks=None, writer=None, schedule=None):
     """Simple epoch driver (reference train_model, train_utils.py:264-325)."""
     train_step = make_train_step(detector, tx, mesh=mesh)
     emit = logger.info if logger else print
     history = []
+    global_it = start_epoch * len(loader)
     for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         if hooks:
             for h in hooks:
                 h(epoch=epoch, loader=loader)
         t0 = time.time()
+        data_meter = None
         for it, batch in enumerate(loader):
             batch = shard_batch(mesh, batch) if mesh is not None else batch
             batch.pop("frame_id", None)
             batch.pop("batch_size", None)
             state, metrics = train_step(state, batch)
+            global_it += 1
             if it % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 history.append(m)
@@ -156,7 +159,17 @@ def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
                     f"epoch {epoch} it {it}/{len(loader)} "
                     + " ".join(f"{k}={v:.4f}" for k, v in m.items())
                 )
+                if writer is not None:
+                    for k, v in m.items():
+                        writer.add_scalar(f"train/{k}", v, global_it)
+                    if schedule is not None:
+                        writer.add_scalar(
+                            "meta_data/learning_rate",
+                            float(schedule(global_it)), global_it,
+                        )
         emit(f"epoch {epoch} done in {time.time()-t0:.1f}s")
         if ckpt_dir is not None and (epoch + 1) % ckpt_save_interval == 0:
             save_checkpoint(ckpt_dir, state, step=epoch + 1)
+    if writer is not None:
+        writer.flush()
     return state, history

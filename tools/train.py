@@ -89,10 +89,26 @@ def main():
         state = restore_checkpoint(resume, state)
         start_epoch = int(Path(resume).name.split("_")[-1])
 
+    from findnpropagate_tpu.utils.metrics import (
+        BatchingSummaryWriter,
+        disable_augmentation_hook,
+    )
+
+    writer = BatchingSummaryWriter(output_dir / "tensorboard")
+    hooks = []
+    if "HOOK" in cfg and "DisableAugmentationHook" in cfg.HOOK:
+        hooks.append(
+            disable_augmentation_hook(
+                cfg.HOOK.DisableAugmentationHook, loader, epochs, logger=logger
+            )
+        )
+
     state, history = train_epochs(
         detector, loader, state, tx, epochs, mesh=mesh, logger=logger,
-        ckpt_dir=ckpt_dir, start_epoch=start_epoch,
+        ckpt_dir=ckpt_dir, start_epoch=start_epoch, hooks=hooks,
+        writer=writer, schedule=schedule,
     )
+    writer.close()
     logger.info("training done")
 
 
