@@ -39,6 +39,9 @@ from ...ops.sparse_ops import (
     sparse_to_dense,
     strided_conv,
     subm_conv,
+    subm_conv_windowed,
+    yxz_linear_ids,
+    yxz_offset_deltas,
 )
 
 
@@ -197,6 +200,26 @@ class _SparseStack(nn.Module):
         )
         return m > 0
 
+    def _sort_level(self, level):
+        """Permute a sparse level's slots into ascending yxz-id order (the
+        windowed subm conv's precondition); rebuilds the lookup table."""
+        kind, grids, feats = level
+        if kind != "sparse" or str(self.model_cfg.get("SUBM_MODE", "gather")) != "windowed":
+            return level
+
+        def one(g, f):
+            ids = yxz_linear_ids(g.coords, g.valid, g.shape)
+            order = jnp.argsort(ids)
+            coords = g.coords[order]
+            valid = g.valid[order]
+            return coords, valid, f[order]
+
+        coords, valid, feats = jax.vmap(one)(grids, feats)
+        new_grids = jax.vmap(
+            lambda c, v: build_grid(c, v, grids.shape)
+        )(coords, valid)
+        return ("sparse", new_grids, feats)
+
     def _to_dense(self, level):
         kind, a, b = level
         if kind == "dense":
@@ -213,9 +236,39 @@ class _SparseStack(nn.Module):
         w, b = wmod()
         kind, a, m = level
         if kind == "sparse":
-            out = jax.vmap(
-                lambda g, f: subm_conv(g, f, w, b, kernel_size=kernel)
-            )(a, m)
+            subm_mode = str(self.model_cfg.get("SUBM_MODE", "gather"))
+            if subm_mode == "windowed" and kernel == (3, 3, 3):
+                # windowed one-hot gather (PERF.md): requires the level's
+                # active list sorted by yxz id — guaranteed by _sort_level.
+                block = int(self.model_cfg.get("WINDOWED_BLOCK", 640))
+                window = int(self.model_cfg.get("WINDOWED_WINDOW", 1024))
+                ids = jax.vmap(
+                    lambda g: yxz_linear_ids(g.coords, g.valid, g.shape)
+                )(a)
+                deltas = jnp.asarray(yxz_offset_deltas(kernel, a.shape))
+                v = m.shape[1]
+                pad = (-v) % block
+                if pad:
+                    m_p = jnp.pad(m, ((0, 0), (0, pad), (0, 0)))
+                    base = ids[:, -1:] if v else ids[:, :1]
+                    ids_p = jnp.concatenate(
+                        [ids, base + 1 + jnp.arange(pad)[None, :]], axis=1
+                    )
+                else:
+                    m_p, ids_p = m, ids
+                out = jax.vmap(
+                    lambda i, f: subm_conv_windowed(
+                        i, f, w, deltas, block=block,
+                        window=min(window, v + pad),
+                    )
+                )(ids_p, m_p)[:, :v]
+                if b is not None:
+                    out = out + b[None, None, :]
+                out = jnp.where(a.valid[..., None], out, 0.0)
+            else:
+                out = jax.vmap(
+                    lambda g, f: subm_conv(g, f, w, b, kernel_size=kernel)
+                )(a, m)
             out = bnmod(out, a.valid, train)
             return ("sparse", a, nn.relu(out) if relu else out)
         y = self._dense_conv(a, w, b, kernel, (1, 1, 1),
@@ -292,6 +345,7 @@ class _SparseStack(nn.Module):
         level = ("sparse", grids, feats)
         if dense_from <= 0:
             level = self._to_dense(level)
+        level = self._sort_level(level)
 
         level = self._subm(level, self.w_input, self.bn_input, train)
         level = self._blocks(self.blocks1, level, train)
@@ -300,18 +354,21 @@ class _SparseStack(nn.Module):
         level = self._down(level, self.blocks2["down"], self.blocks2["down_bn"],
                            train, s2, self.caps[2], padding=(1, 1, 1),
                            dense_out=dense_from <= 1)
+        level = self._sort_level(level)
         level = self._blocks(self.blocks2, level, train)
         lvl2 = level
 
         level = self._down(level, self.blocks3["down"], self.blocks3["down_bn"],
                            train, s3, self.caps[3], padding=(1, 1, 1),
                            dense_out=dense_from <= 2)
+        level = self._sort_level(level)
         level = self._blocks(self.blocks3, level, train)
         lvl3 = level
 
         level = self._down(level, self.blocks4["down"], self.blocks4["down_bn"],
                            train, s4, self.caps[4], padding=(0, 1, 1),
                            dense_out=dense_from <= 3)
+        level = self._sort_level(level)
         level = self._blocks(self.blocks4, level, train)
         lvl4 = level
 

@@ -240,3 +240,89 @@ def masked_batch_stats(features, valid):
     mean = jnp.sum(features * m, axis=0) / n
     var = jnp.sum(((features - mean) ** 2) * m, axis=0) / n
     return mean, var
+
+
+# --------------------------------------------------------------------------
+# Windowed one-hot submanifold conv (PERF.md roadmap): exploits that with a
+# (y, x, z)-major sorted active list, every kernel offset's neighbor lives in
+# a near-contiguous slot window, so the random row-gather becomes a
+# contiguous slice gather + an MXU compare-matmul alignment.
+# --------------------------------------------------------------------------
+
+def _yxz_strides(shape):
+    """Guard-banded (y, x, z)-major id strides: +-1 guard cells in z and x so
+    an id delta can never alias across a column/row boundary (a same-id match
+    then always IS the true spatial neighbor)."""
+    nz, ny, nx = (int(s) for s in shape)
+    stride_x = nz + 2
+    stride_y = (nx + 2) * stride_x
+    return stride_x, stride_y
+
+
+def yxz_linear_ids(coords, valid, shape):
+    """(V, 3) zyx coords -> (V,) int32 guard-banded (y, x, z)-major ids;
+    invalid rows get unique ascending sentinels placed ABOVE any valid
+    target (valid id + max kernel delta), so windowed equality can never
+    match a sentinel to a valid cell. Sentinel-to-sentinel matches are
+    harmless (their feature rows are zero). Spacing 1 keeps everything well
+    inside int32 (the id space tops out around ny*stride_y + V)."""
+    nz, ny, nx = (int(s) for s in shape)
+    stride_x, stride_y = _yxz_strides(shape)
+    ids = coords[:, 1] * stride_y + (coords[:, 2] + 1) * stride_x + (
+        coords[:, 0] + 1
+    )
+    big = (ny + 1) * stride_y + stride_x + 2  # > max valid id + max |delta|
+    slot = jnp.arange(coords.shape[0], dtype=jnp.int32)
+    return jnp.where(valid, ids, big + slot).astype(jnp.int32)
+
+
+def yxz_offset_deltas(kernel_size, shape):
+    """Per kernel tap, the guard-banded (y, x, z)-major id delta."""
+    stride_x, stride_y = _yxz_strides(shape)
+    offs = _kernel_offsets(kernel_size)  # (K, 3) zyx
+    return offs[:, 1] * stride_y + offs[:, 2] * stride_x + offs[:, 0]
+
+
+def subm_conv_windowed(ids, feats, weights, deltas, block: int = 256,
+                       window: int = 512, precision=None):
+    """Submanifold conv over a (y, x, z)-major SORTED active list.
+
+    ids: (V,) ascending int32 from yxz_linear_ids (V % block == 0);
+    feats: (V, C) with zero rows at invalid slots; weights: (K, Cin, Cout);
+    deltas: (K,) id deltas. EXACT as long as every offset's neighbor window
+    spans < `window` slots (holds when actives-per-id-span(|delta|) <
+    window - block; validated by tests / choose window per dataset).
+    """
+    v, cin = feats.shape
+    k, _, cout = weights.shape
+    nb = v // block
+    assert nb * block == v, "pad V to a multiple of block"
+    window = min(window, v)
+
+    block_start = ids[::block]  # (NB,)
+    targets = (block_start[:, None] + deltas[None, :]).reshape(-1)
+    lo = jnp.searchsorted(ids, targets).reshape(nb, k)
+    lo = jnp.minimum(lo, v - window).astype(jnp.int32)
+    tgt_ids = ids.reshape(nb, block)
+
+    def body(carry, inputs):
+        lo_k, w_k, d_k = inputs
+        win_f = jax.vmap(
+            lambda l: jax.lax.dynamic_slice(feats, (l, 0), (window, cin))
+        )(lo_k)  # (NB, S, C)
+        win_i = jax.vmap(
+            lambda l: jax.lax.dynamic_slice(ids, (l,), (window,))
+        )(lo_k)  # (NB, S)
+        want = tgt_ids + d_k  # (NB, W)
+        onehot = (win_i[:, None, :] == want[:, :, None]).astype(feats.dtype)
+        # structurally exact (<=1 nonzero per onehot row) up to the matmul
+        # precision's rounding of the feature values themselves
+        g = jnp.einsum("nws,nsc->nwc", onehot, win_f, precision=precision)
+        return carry + jnp.dot(
+            g.reshape(v, cin), w_k, preferred_element_type=carry.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ), None
+
+    out0 = jnp.zeros((v, cout), jnp.promote_types(feats.dtype, jnp.float32))
+    out, _ = jax.lax.scan(body, out0, (lo.T, weights, deltas))
+    return out.astype(feats.dtype)

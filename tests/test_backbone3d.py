@@ -50,6 +50,26 @@ def test_hybrid_matches_sparse(dense_from):
     np.testing.assert_allclose(outs[5], outs[dense_from], atol=2e-3)
 
 
+def test_windowed_subm_matches_gather():
+    rng = np.random.RandomState(2)
+    batch = make_batch(rng)
+    outs = {}
+    var0 = None
+    for mode in ("gather", "windowed"):
+        bb = VoxelResBackBone8x(
+            model_cfg={"MAX_VOXELS": 4096,
+                       "LEVEL_CAPACITIES": [4096, 4096, 4096, 2048, 1024],
+                       "DENSE_FROM_LEVEL": 2, "SUBM_MODE": mode,
+                       "WINDOWED_BLOCK": 64, "WINDOWED_WINDOW": 192},
+            input_channels=5, grid_size=GRID,
+        )
+        if var0 is None:
+            var0 = bb.init(jax.random.PRNGKey(0), dict(batch), train=False)
+        out = bb.apply(var0, dict(batch), train=False)
+        outs[mode] = np.asarray(out["encoded_spconv_tensor"])
+    np.testing.assert_allclose(outs["gather"], outs["windowed"], atol=5e-3)
+
+
 def test_output_shape_and_stride():
     rng = np.random.RandomState(1)
     batch = make_batch(rng)
