@@ -103,12 +103,18 @@ def eval_class(gt_annos, det_annos, cls_name, difficulty, metric="3d"):
         for di in order:
             row = iou[di].copy()
             row[assigned] = -1
-            gi = int(np.argmax(row))
-            best = row[gi]
-            if best >= thresh and care[gi]:
+            # prefer care gts (official protocol: a detection overlapping
+            # both an ignored gt and a qualifying care gt counts as TP for
+            # the care gt, never absorbed by the ignored one)
+            care_row = np.where(care, row, -1.0)
+            gi = int(np.argmax(care_row))
+            if care_row[gi] >= thresh:
                 assigned[gi] = True
                 scores_tp.append((det_scores[di], 1))
-            elif best >= thresh and ignored[gi]:
+                continue
+            ign_row = np.where(ignored, row, -1.0)
+            gi = int(np.argmax(ign_row))
+            if ign_row[gi] >= thresh:
                 assigned[gi] = True  # matched an ignored gt: neither TP nor FP
             else:
                 scores_tp.append((det_scores[di], 0))

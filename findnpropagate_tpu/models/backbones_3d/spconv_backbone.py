@@ -49,38 +49,7 @@ def conv_out_dim(n, k, s, p):
     return (n + 2 * p - k) // s + 1
 
 
-class MaskedBatchNorm(nn.Module):
-    """BatchNorm over valid cells only (torch eps=1e-3, momentum=0.01).
-
-    x: (..., C); valid: (...) bool broadcastable to x's leading dims.
-    """
-
-    features: int
-    epsilon: float = 1e-3
-    momentum: float = 0.99
-
-    @nn.compact
-    def __call__(self, x, valid, train: bool):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((self.features,))
-        )
-        reduce_axes = tuple(range(x.ndim - 1))
-        if train:
-            m = valid[..., None].astype(x.dtype)
-            n = jnp.clip(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=reduce_axes) / n
-            var = jnp.sum(((x - mean) ** 2) * m, axis=reduce_axes) / n
-            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        else:
-            mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return jnp.where(valid[..., None], y, 0.0)
+from ..blocks import MaskedBatchNorm  # noqa: E402 (shared with PillarVFE)
 
 
 class SparseConvParam(nn.Module):

@@ -11,9 +11,48 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 BN_KW = dict(epsilon=1e-3, momentum=0.99)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose statistics are computed over VALID cells only
+    (torch eps=1e-3, momentum=0.01). The reference's BatchNorm1d sees
+    exactly the ragged active set; on the fixed-capacity TPU layout an
+    unmasked BN would dilute mean/var with padded rows, so every BN over a
+    padded axis (sparse voxels, pillar slots) must go through this.
+
+    x: (..., C); valid: bool, broadcastable to x's leading dims.
+    """
+
+    features: int
+    epsilon: float = 1e-3
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, x, valid, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        )
+        if train:
+            m = jnp.broadcast_to(valid[..., None], x.shape).astype(x.dtype)
+            reduce_axes = tuple(range(x.ndim - 1))
+            n = jnp.clip(jnp.sum(m, axis=reduce_axes), 1.0)
+            mean = jnp.sum(x * m, axis=reduce_axes) / n
+            var = jnp.sum(((x - mean) ** 2) * m, axis=reduce_axes) / n
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return jnp.where(valid[..., None], y, 0.0)
 
 
 class ConvBNReLU(nn.Module):

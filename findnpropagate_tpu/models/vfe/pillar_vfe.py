@@ -18,7 +18,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..blocks import BN_KW
+from ..blocks import MaskedBatchNorm
 
 
 class PFNLayer(nn.Module):
@@ -27,12 +27,17 @@ class PFNLayer(nn.Module):
     use_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        # x: (B, V, T, C)
+    def __call__(self, x, pillar_valid, train: bool):
+        # x: (B, V, T, C); pillar_valid: (B, V) bool — real (non-padded)
+        # pillars. The reference's BatchNorm1d (pillar_vfe.py:38-39,41) runs
+        # over the ragged (N_real, C, T) tensor: statistics cover ALL T point
+        # slots of real pillars (zero-padded slots included) but no padded
+        # pillar rows, and padded slots' BN outputs do participate in the
+        # max — so the mask here is pillar-level, not slot-level.
         out = self.out_channels if self.last_layer else self.out_channels // 2
         x = nn.Dense(out, use_bias=not self.use_norm)(x)
         if self.use_norm:
-            x = nn.BatchNorm(use_running_average=not train, **BN_KW)(x)
+            x = MaskedBatchNorm(out)(x, pillar_valid[..., None], train)
         x = nn.relu(x)
         x_max = jnp.max(x, axis=2, keepdims=True)  # (B, V, 1, C')
         if self.last_layer:
@@ -92,17 +97,18 @@ class PillarVFE(nn.Module):
         features = jnp.concatenate(feats, axis=-1)
 
         # zero out padded point slots (reference pillar_vfe.py:115-118)
-        slot = jnp.arange(t)[None, None, :, None]
-        point_mask = (slot < num_points[..., None, None]).astype(features.dtype)
-        features = features * point_mask
+        slot = jnp.arange(t)[None, None, :]
+        point_valid = slot < num_points[..., None]  # (B, V, T)
+        features = features * point_valid[..., None].astype(features.dtype)
 
+        pillar_valid = num_points > 0  # (B, V): real pillars have >=1 point
         num_filters: Sequence[int] = self.model_cfg["NUM_FILTERS"]
         for i, nf in enumerate(num_filters):
             features = PFNLayer(
                 out_channels=int(nf),
                 last_layer=(i == len(num_filters) - 1),
                 use_norm=use_norm,
-            )(features, train)
+            )(features, pillar_valid, train)
 
         batch["pillar_features"] = features  # (B, V, C_out)
         return batch

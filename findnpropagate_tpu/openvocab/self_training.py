@@ -84,11 +84,11 @@ def extract_pseudo_labels(detector, variables, inference_loader, processor,
 def train_model_st(detector, train_loader, inference_loader, state, tx,
                    epochs, processor: PseudoProcessor, mesh=None, logger=None,
                    ckpt_dir=None, st_warmup=3, st_interval=1, relabeler=None,
-                   log_interval=10):
+                   log_interval=10, seed: int = 17):
     """ST epoch driver (train_utils.py:327-449)."""
     from ..runtime.trainer import make_train_step
 
-    train_step = make_train_step(detector, tx, mesh=mesh)
+    train_step = make_train_step(detector, tx, mesh=mesh, seed=seed)
     emit = logger.info if logger else print
     for epoch in range(epochs):
         if epoch >= st_warmup and (epoch - st_warmup) % st_interval == 0:

@@ -40,18 +40,54 @@ def create_train_state(detector, example_batch, tx, rng):
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state)
 
 
-def make_train_step(detector, tx, mesh=None, donate=True):
+def _mesh_constraints(mesh):
+    """(constrain_repl, constrain_data): sharding-constraint fns pinning a
+    pytree replicated / batch-axis sharded on the mesh's 'data' axis.
+    Applied INSIDE jit so correctness does not rest on caller placement."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def constrain_repl(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, repl), tree
+        )
+
+    def constrain_data(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, data if getattr(x, "ndim", 0) >= 1 else repl
+            ),
+            tree,
+        )
+
+    return constrain_repl, constrain_data
+
+
+def make_train_step(detector, tx, mesh=None, donate=True, seed: int = 17):
     """Returns train_step(state, batch) -> (state, metrics), jitted and
-    (optionally) sharded: params replicated, batch sharded on its leading
-    axis over the mesh's 'data' axis."""
+    (optionally) sharded: params/opt_state pinned replicated, batch pinned
+    batch-axis-sharded over the mesh's 'data' axis via sharding constraints
+    (XLA inserts the gradient all-reduce). `seed` drives the per-step rng
+    (folded with the step counter) — plumbed from cfg/CLI."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         loss, (tb, mut) = detector.loss(variables, batch, rng=rng)
         return loss, (tb, mut.get("batch_stats", batch_stats))
 
+    if mesh is not None:
+        constrain_repl, constrain_data = _mesh_constraints(mesh)
+
     def train_step(state: TrainState, batch):
-        rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        if mesh is not None:
+            state = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P())
+                ),
+                state,
+            )
+            batch = constrain_data(batch)
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (tb, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng
@@ -61,30 +97,27 @@ def make_train_step(detector, tx, mesh=None, donate=True):
         metrics = dict(tb)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(state.step + 1, new_params, new_bs, new_opt), metrics
+        new_state = TrainState(state.step + 1, new_params, new_bs, new_opt)
+        if mesh is not None:
+            new_state = constrain_repl(new_state)
+        return new_state, metrics
 
-    if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
-
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-
-    def batch_shardings(batch):
-        return jax.tree.map(
-            lambda x: data if getattr(x, "ndim", 0) >= 1 else repl, batch
-        )
-
-    def sharded(state, batch):
-        return train_step(state, batch)
-
-    return jax.jit(
-        sharded,
-        donate_argnums=(0,) if donate else (),
-    )
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(detector, mesh=None):
+    if mesh is not None:
+        _, constrain_data = _mesh_constraints(mesh)
+
     def eval_step(variables, batch):
+        if mesh is not None:
+            variables = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P())
+                ),
+                variables,
+            )
+            batch = constrain_data(batch)
         out = detector.apply(variables, batch, train=False)
         return detector.post_process(out)
 
@@ -133,9 +166,10 @@ def restore_checkpoint(path, state: TrainState) -> TrainState:
 
 def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
                  ckpt_dir=None, log_interval=10, ckpt_save_interval=1,
-                 start_epoch=0, hooks=None, writer=None, schedule=None):
+                 start_epoch=0, hooks=None, writer=None, schedule=None,
+                 seed: int = 17):
     """Simple epoch driver (reference train_model, train_utils.py:264-325)."""
-    train_step = make_train_step(detector, tx, mesh=mesh)
+    train_step = make_train_step(detector, tx, mesh=mesh, seed=seed)
     emit = logger.info if logger else print
     history = []
     global_it = start_epoch * len(loader)

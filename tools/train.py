@@ -106,7 +106,7 @@ def main():
     state, history = train_epochs(
         detector, loader, state, tx, epochs, mesh=mesh, logger=logger,
         ckpt_dir=ckpt_dir, start_epoch=start_epoch, hooks=hooks,
-        writer=writer, schedule=schedule,
+        writer=writer, schedule=schedule, seed=args.seed,
     )
     writer.close()
     logger.info("training done")

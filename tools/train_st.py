@@ -102,6 +102,7 @@ def main():
         detector, train_loader, inf_loader, state, tx, epochs, processor,
         mesh=mesh, logger=logger, ckpt_dir=output_dir / "ckpt",
         st_warmup=args.st_warmup, st_interval=args.st_interval,
+        seed=args.seed,
     )
     logger.info("self-training done")
 
