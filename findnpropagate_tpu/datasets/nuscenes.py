@@ -110,12 +110,24 @@ class NuScenesDataset(DatasetTemplate):
                     data_dict[key] = info[key]
         return self.prepare_data(data_dict)
 
-    def evaluation(self, det_annos, class_names, **kwargs):
-        from .eval_utils import simple_map_eval
-
+    def evaluation(self, det_annos, class_names, eval_metric="nuscenes",
+                   **kwargs):
+        """Official-protocol mAP/NDS by default (reference delegates to the
+        nuscenes devkit, nuscenes_dataset.py:281-344); `eval_metric="simple"`
+        keeps the lightweight center-distance AP."""
         gts = [
             {"gt_boxes": info.get("gt_boxes", np.zeros((0, 7))),
-             "gt_names": info.get("gt_names", np.array([]))}
+             "gt_names": info.get("gt_names", np.array([])),
+             "num_lidar_pts": info.get("num_lidar_pts", None),
+             "gt_attrs": info.get("gt_attrs", None)}
             for info in self.infos
         ]
-        return simple_map_eval(det_annos, gts, class_names, **kwargs)
+        if eval_metric == "simple":
+            from .eval_utils import simple_map_eval
+
+            slim = [{"gt_boxes": g["gt_boxes"], "gt_names": g["gt_names"]}
+                    for g in gts]
+            return simple_map_eval(det_annos, slim, class_names, **kwargs)
+        from .nuscenes_eval import nuscenes_protocol_eval
+
+        return nuscenes_protocol_eval(det_annos, gts, class_names, **kwargs)

@@ -35,11 +35,15 @@ import numpy as np
 from ...ops.sparse_ops import (
     SparseGrid,
     build_grid,
+    coords_to_dense,
     downsample_active_set,
     sparse_to_dense,
+    strided_base_ids,
     strided_conv,
+    strided_deltas,
     subm_conv,
-    subm_conv_windowed,
+    win_downsample,
+    windowed_conv,
     yxz_linear_ids,
     yxz_offset_deltas,
 )
@@ -142,8 +146,75 @@ class _SparseStack(nn.Module):
         return mods
 
     # ---- forward helpers -------------------------------------------------
-    # A "level" is either ('sparse', grids, feats(B,V,C)) or
-    # ('dense', x(B,nz,ny,nx,C), mask(B,nz,ny,nx)).
+    # A "level" is one of
+    #   ('sparse', grids: SparseGrid, feats (B,V,C))      gather-GEMM path
+    #   ('win', (ids, coords, valid, feats), shape)       windowed path
+    #   ('dense', x (B,nz,ny,nx,C), mask (B,nz,ny,nx))    hybrid dense path
+    # The windowed path keeps each level's active list SORTED by its
+    # (y,x,z)-major guard-banded id and needs no dense lookup table at all:
+    # subm convs window the level's own ids; strided convs map output voxels
+    # into the input id space (strided_base_ids); downsamples emit already-
+    # sorted actives (win_downsample). PERF.md round-2 plan (a)-(c).
+
+    def _win_cfg(self):
+        cfg = self.model_cfg
+        block = int(cfg.get("WINDOWED_BLOCK", 640))
+        window = int(cfg.get("WINDOWED_WINDOW", 1024))
+        swindow = int(cfg.get("WINDOWED_STRIDED_WINDOW", 4 * window))
+        prec_name = str(cfg.get("WINDOWED_PRECISION", "default")).lower()
+        prec = {"default": None,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[prec_name]
+        return block, window, swindow, prec
+
+    def _win_entry(self, coords, valid, feats, shape, ovf_acc):
+        """Sort the batch's active sets into yxz-id order and pad V to a
+        block multiple. If the voxelizer already emitted yxz order
+        (VOXEL_ORDER yxz + ASSUME_SORTED), the sort is skipped."""
+        block = self._win_cfg()[0]
+        if not bool(self.model_cfg.get("ASSUME_SORTED", False)):
+            def one(c, v, f):
+                ids = yxz_linear_ids(c, v, shape)
+                order = jnp.argsort(ids)
+                return ids[order], c[order], v[order], f[order]
+
+            ids, coords, valid, feats = jax.vmap(one)(coords, valid, feats)
+        else:
+            ids = jax.vmap(
+                lambda c, v: yxz_linear_ids(c, v, shape)
+            )(coords, valid)
+        v = ids.shape[1]
+        pad = (-v) % block
+        if pad:
+            ids = jnp.concatenate(
+                [ids, ids[:, -1:] + 1 + jnp.arange(pad)[None, :]], axis=1
+            )
+            coords = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)),
+                             constant_values=-1)
+            valid = jnp.pad(valid, ((0, 0), (0, pad)))
+            feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+        return ("win", (ids, coords, valid, feats), shape)
+
+    def _to_dense(self, level):
+        kind, a, b = level
+        if kind == "dense":
+            return level
+        if kind == "win":
+            ids, coords, valid, feats = a
+            shape = b
+            x = jax.vmap(
+                lambda c, v, f: coords_to_dense(c, v, f, shape)
+            )(coords, valid, feats)
+            ones = jnp.ones(feats.shape[:2] + (1,), jnp.float32)
+            mask = jax.vmap(
+                lambda c, v, f: coords_to_dense(c, v, f, shape)
+            )(coords, valid, ones)[..., 0] > 0
+            return ("dense", x, mask)
+        grids, feats = a, b
+        x = jax.vmap(sparse_to_dense)(grids, feats)
+        ones = jnp.ones(feats.shape[:2] + (1,), jnp.float32)
+        mask = jax.vmap(sparse_to_dense)(grids, ones)[..., 0] > 0
+        return ("dense", x, mask)
 
     @staticmethod
     def _dense_conv(x, w, b, kernel, stride, padding):
@@ -169,75 +240,32 @@ class _SparseStack(nn.Module):
         )
         return m > 0
 
-    def _sort_level(self, level):
-        """Permute a sparse level's slots into ascending yxz-id order (the
-        windowed subm conv's precondition); rebuilds the lookup table."""
-        kind, grids, feats = level
-        if kind != "sparse" or str(self.model_cfg.get("SUBM_MODE", "gather")) != "windowed":
-            return level
-
-        def one(g, f):
-            ids = yxz_linear_ids(g.coords, g.valid, g.shape)
-            order = jnp.argsort(ids)
-            coords = g.coords[order]
-            valid = g.valid[order]
-            return coords, valid, f[order]
-
-        coords, valid, feats = jax.vmap(one)(grids, feats)
-        new_grids = jax.vmap(
-            lambda c, v: build_grid(c, v, grids.shape)
-        )(coords, valid)
-        return ("sparse", new_grids, feats)
-
-    def _to_dense(self, level):
-        kind, a, b = level
-        if kind == "dense":
-            return level
-        grids, feats = a, b
-        x = jax.vmap(sparse_to_dense)(grids, feats)
-        nz, ny, nx = grids.shape
-        ones = jnp.ones(feats.shape[:2] + (1,), jnp.float32)
-        mask = jax.vmap(sparse_to_dense)(grids, ones)[..., 0] > 0
-        return ("dense", x, mask)
-
-    def _subm(self, level, wmod, bnmod, train, kernel=(3, 3, 3),
+    def _subm(self, level, wmod, bnmod, train, ovf_acc, kernel=(3, 3, 3),
               relu=True):
         w, b = wmod()
         kind, a, m = level
+        if kind == "win":
+            ids, coords, valid, feats = a
+            shape = m
+            block, window, _, prec = self._win_cfg()
+            deltas = jnp.asarray(yxz_offset_deltas(kernel, shape))
+            out, ovf = jax.vmap(
+                lambda i, f: windowed_conv(
+                    i, f, i, w, deltas, block=block, window=window,
+                    precision=prec,
+                )
+            )(ids, feats)
+            ovf_acc.append(jnp.sum(ovf))
+            if b is not None:
+                out = out + b[None, None, :]
+            out = jnp.where(valid[..., None], out, 0.0)
+            out = bnmod(out, valid, train)
+            out = nn.relu(out) if relu else out
+            return ("win", (ids, coords, valid, out), shape)
         if kind == "sparse":
-            subm_mode = str(self.model_cfg.get("SUBM_MODE", "gather"))
-            if subm_mode == "windowed" and kernel == (3, 3, 3):
-                # windowed one-hot gather (PERF.md): requires the level's
-                # active list sorted by yxz id — guaranteed by _sort_level.
-                block = int(self.model_cfg.get("WINDOWED_BLOCK", 640))
-                window = int(self.model_cfg.get("WINDOWED_WINDOW", 1024))
-                ids = jax.vmap(
-                    lambda g: yxz_linear_ids(g.coords, g.valid, g.shape)
-                )(a)
-                deltas = jnp.asarray(yxz_offset_deltas(kernel, a.shape))
-                v = m.shape[1]
-                pad = (-v) % block
-                if pad:
-                    m_p = jnp.pad(m, ((0, 0), (0, pad), (0, 0)))
-                    base = ids[:, -1:] if v else ids[:, :1]
-                    ids_p = jnp.concatenate(
-                        [ids, base + 1 + jnp.arange(pad)[None, :]], axis=1
-                    )
-                else:
-                    m_p, ids_p = m, ids
-                out = jax.vmap(
-                    lambda i, f: subm_conv_windowed(
-                        i, f, w, deltas, block=block,
-                        window=min(window, v + pad),
-                    )
-                )(ids_p, m_p)[:, :v]
-                if b is not None:
-                    out = out + b[None, None, :]
-                out = jnp.where(a.valid[..., None], out, 0.0)
-            else:
-                out = jax.vmap(
-                    lambda g, f: subm_conv(g, f, w, b, kernel_size=kernel)
-                )(a, m)
+            out = jax.vmap(
+                lambda g, f: subm_conv(g, f, w, b, kernel_size=kernel)
+            )(a, m)
             out = bnmod(out, a.valid, train)
             return ("sparse", a, nn.relu(out) if relu else out)
         y = self._dense_conv(a, w, b, kernel, (1, 1, 1),
@@ -246,7 +274,7 @@ class _SparseStack(nn.Module):
         y = bnmod(y, m, train)
         return ("dense", nn.relu(y) if relu else y, m)
 
-    def _down(self, level, wmod, bnmod, train, out_shape, cap,
+    def _down(self, level, wmod, bnmod, train, out_shape, cap, ovf_acc,
               kernel=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1),
               dense_out=False):
         """dense_out: produce the NEXT level densely. A sparse input level is
@@ -254,6 +282,37 @@ class _SparseStack(nn.Module):
         dense conv over the fine grid), then its output is densified."""
         w, b = wmod()
         kind, a, m = level
+        if kind == "win":
+            ids, coords, valid, feats = a
+            in_shape = m
+            block, _, swindow, prec = self._win_cfg()
+            cap = -(-cap // block) * block  # keep Vt a block multiple
+            oi, oc, ov = jax.vmap(
+                lambda c, v: win_downsample(
+                    c, v, in_shape, out_shape, cap, kernel_size=kernel,
+                    stride=stride, padding=padding,
+                )
+            )(coords, valid)
+            deltas = jnp.asarray(
+                strided_deltas(kernel, stride, padding, in_shape)
+            )
+            base = jax.vmap(
+                lambda c, v: strided_base_ids(c, v, stride, in_shape,
+                                              out_shape)
+            )(oc, ov)
+            out, ovf = jax.vmap(
+                lambda si, sf, ti: windowed_conv(
+                    si, sf, ti, w, deltas, block=block, window=swindow,
+                    precision=prec,
+                )
+            )(ids, feats, base)
+            ovf_acc.append(jnp.sum(ovf))
+            if b is not None:
+                out = out + b[None, None, :]
+            out = jnp.where(ov[..., None], out, 0.0)
+            out = nn.relu(bnmod(out, ov, train))
+            level = ("win", (oi, oc, ov, out), out_shape)
+            return self._to_dense(level) if dense_out else level
         if kind == "sparse":
             grids, feats = a, m
             oc, ov = jax.vmap(
@@ -278,17 +337,28 @@ class _SparseStack(nn.Module):
         y = nn.relu(bnmod(y, new_mask, train))
         return ("dense", y, new_mask)
 
-    def _blocks(self, mods, level, train):
+    def _blocks(self, mods, level, train, ovf_acc):
         if self.residual:
             for blk in range(2):
                 kind, a, m = level
-                identity = m if kind == "sparse" else a
+                if kind == "win":
+                    identity = a[3]
+                elif kind == "sparse":
+                    identity = m
+                else:
+                    identity = a
                 level = self._subm(level, mods[f"res{blk}_conv1"],
-                                   mods[f"res{blk}_bn1"], train)
+                                   mods[f"res{blk}_bn1"], train, ovf_acc)
                 level = self._subm(level, mods[f"res{blk}_conv2"],
-                                   mods[f"res{blk}_bn2"], train, relu=False)
+                                   mods[f"res{blk}_bn2"], train, ovf_acc,
+                                   relu=False)
                 kind, a, m = level
-                if kind == "sparse":
+                if kind == "win":
+                    ids, coords, valid, feats = a
+                    out = nn.relu(feats + identity)
+                    out = jnp.where(valid[..., None], out, 0.0)
+                    level = ("win", (ids, coords, valid, out), m)
+                elif kind == "sparse":
                     out = nn.relu(m + identity)
                     out = jnp.where(a.valid[..., None], out, 0.0)
                     level = ("sparse", a, out)
@@ -299,7 +369,7 @@ class _SparseStack(nn.Module):
         else:
             for blk in range(2):
                 level = self._subm(level, mods[f"conv{blk}"],
-                                   mods[f"bn{blk}"], train)
+                                   mods[f"bn{blk}"], train, ovf_acc)
         return level
 
     def __call__(self, batch, train: bool):
@@ -309,52 +379,57 @@ class _SparseStack(nn.Module):
 
         s1, s2, s3, s4, s_out = self.level_shapes
         dense_from = int(self.model_cfg.get("DENSE_FROM_LEVEL", 1))
+        windowed = str(self.model_cfg.get("SUBM_MODE", "gather")) == "windowed"
+        ovf_acc = []
 
-        grids = jax.vmap(lambda c, v: build_grid(c, v, s1))(coords, valid)
-        level = ("sparse", grids, feats)
+        if windowed:
+            level = self._win_entry(coords, valid, feats, s1, ovf_acc)
+        else:
+            grids = jax.vmap(lambda c, v: build_grid(c, v, s1))(coords, valid)
+            level = ("sparse", grids, feats)
         if dense_from <= 0:
             level = self._to_dense(level)
-        level = self._sort_level(level)
 
-        level = self._subm(level, self.w_input, self.bn_input, train)
-        level = self._blocks(self.blocks1, level, train)
+        level = self._subm(level, self.w_input, self.bn_input, train, ovf_acc)
+        level = self._blocks(self.blocks1, level, train, ovf_acc)
         lvl1 = level
 
         level = self._down(level, self.blocks2["down"], self.blocks2["down_bn"],
-                           train, s2, self.caps[2], padding=(1, 1, 1),
+                           train, s2, self.caps[2], ovf_acc, padding=(1, 1, 1),
                            dense_out=dense_from <= 1)
-        level = self._sort_level(level)
-        level = self._blocks(self.blocks2, level, train)
+        level = self._blocks(self.blocks2, level, train, ovf_acc)
         lvl2 = level
 
         level = self._down(level, self.blocks3["down"], self.blocks3["down_bn"],
-                           train, s3, self.caps[3], padding=(1, 1, 1),
+                           train, s3, self.caps[3], ovf_acc, padding=(1, 1, 1),
                            dense_out=dense_from <= 2)
-        level = self._sort_level(level)
-        level = self._blocks(self.blocks3, level, train)
+        level = self._blocks(self.blocks3, level, train, ovf_acc)
         lvl3 = level
 
         level = self._down(level, self.blocks4["down"], self.blocks4["down_bn"],
-                           train, s4, self.caps[4], padding=(0, 1, 1),
+                           train, s4, self.caps[4], ovf_acc, padding=(0, 1, 1),
                            dense_out=dense_from <= 3)
-        level = self._sort_level(level)
-        level = self._blocks(self.blocks4, level, train)
+        level = self._blocks(self.blocks4, level, train, ovf_acc)
         lvl4 = level
 
         level = self._down(level, self.w_out, self.bn_out, train, s_out,
-                           self.caps[4], kernel=(3, 1, 1), stride=(2, 1, 1),
-                           padding=(0, 0, 0), dense_out=dense_from <= 4)
+                           self.caps[4], ovf_acc, kernel=(3, 1, 1),
+                           stride=(2, 1, 1), padding=(0, 0, 0),
+                           dense_out=dense_from <= 4)
 
-        kind, a, m = level
-        if kind == "sparse":
-            dense = jax.vmap(sparse_to_dense)(a, m)
-        else:
-            dense = a
+        level = self._to_dense(level)
+        dense = level[1]
         batch["encoded_spconv_tensor"] = dense
         batch["encoded_spconv_tensor_stride"] = 8
         batch["multi_scale_3d_features"] = {
             "x_conv1": lvl1, "x_conv2": lvl2, "x_conv3": lvl3, "x_conv4": lvl4,
         }
+        if ovf_acc:
+            # runtime exactness check for the windowed formulation (ADVICE
+            # r1): any nonzero count means a neighbor span exceeded the
+            # configured window and activations are wrong — surfaced for
+            # trainer logging and asserted zero in tests.
+            batch["sparse_window_overflow"] = sum(ovf_acc)
         return batch
 
 

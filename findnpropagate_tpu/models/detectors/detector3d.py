@@ -116,11 +116,13 @@ class DetectorModule(nn.Module):
         batch["voxel_mask"] = out.voxel_mask
         return batch
 
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False, upto: int = None):
+        """upto: run only the first `upto` modules (profiling hook)."""
         batch = dict(batch)
         if "voxels" not in batch:
             batch = self._voxelize(batch)
-        for name in self.module_order:
+        order = self.module_order if upto is None else self.module_order[:upto]
+        for name in order:
             batch = getattr(self, name)(batch, train)
         return batch
 

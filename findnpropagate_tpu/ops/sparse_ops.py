@@ -283,6 +283,71 @@ def yxz_offset_deltas(kernel_size, shape):
     return offs[:, 1] * stride_y + offs[:, 2] * stride_x + offs[:, 0]
 
 
+def windowed_conv(src_ids, src_feats, tgt_ids, weights, deltas,
+                  block: int = 256, window: int = 512, precision=None):
+    """Generalized windowed one-hot sparse conv.
+
+    For every target row t and kernel tap k, accumulates
+    ``src_feats[src_ids == tgt_ids[t] + deltas[k]] @ weights[k]`` (zero when
+    absent). Both id lists must be ascending; a contiguous block of targets
+    then reads its tap-k neighbors from one contiguous source window —
+    a slice-DMA plus an MXU compare-matmul instead of a random row gather.
+
+    src_ids: (Vs,) ascending; src_feats: (Vs, Cin) zero rows at invalid
+    slots; tgt_ids: (Vt,) ascending, Vt % block == 0; weights: (K, Cin,
+    Cout); deltas: (K,) id deltas in SOURCE id space.
+
+    Returns (out (Vt, Cout) f32-accumulated cast back to feats dtype,
+    overflow (,) int32 — the number of (block, tap) pairs whose true
+    neighbor span exceeded `window`; any nonzero count means neighbors were
+    silently treated as absent and the window must be enlarged).
+    """
+    vs, cin = src_feats.shape
+    vt = tgt_ids.shape[0]
+    k, _, cout = weights.shape
+    nb = vt // block
+    assert nb * block == vt, "pad Vt to a multiple of block"
+    window = min(window, vs)
+
+    block_first = tgt_ids[::block]            # (NB,)
+    block_last = tgt_ids[block - 1::block]    # (NB,)
+    lo = jnp.searchsorted(
+        src_ids, (block_first[:, None] + deltas[None, :]).reshape(-1)
+    ).reshape(nb, k)
+    lo = jnp.minimum(lo, vs - window).astype(jnp.int32)
+    hi = jnp.searchsorted(
+        src_ids, (block_last[:, None] + deltas[None, :]).reshape(-1),
+        side="right",
+    ).reshape(nb, k).astype(jnp.int32)
+    # exactness check (runtime): every (block, tap) span must fit the window
+    overflow = jnp.sum((hi - lo) > window)
+    tgt_b = tgt_ids.reshape(nb, block)
+
+    def body(carry, inputs):
+        lo_k, w_k, d_k = inputs
+        win_f = jax.vmap(
+            lambda l: jax.lax.dynamic_slice(src_feats, (l, 0), (window, cin))
+        )(lo_k)  # (NB, S, C)
+        win_i = jax.vmap(
+            lambda l: jax.lax.dynamic_slice(src_ids, (l,), (window,))
+        )(lo_k)  # (NB, S)
+        want = tgt_b + d_k  # (NB, W)
+        onehot = (win_i[:, None, :] == want[:, :, None]).astype(src_feats.dtype)
+        # structurally exact (<=1 nonzero per onehot row) up to the matmul
+        # precision's rounding of the feature values themselves; with bf16
+        # features any precision is exact (products are 1.0 * f). Plumbed
+        # from the backbone's WINDOWED_PRECISION cfg.
+        g = jnp.einsum("nws,nsc->nwc", onehot, win_f, precision=precision)
+        return carry + jnp.dot(
+            g.reshape(vt, cin), w_k, preferred_element_type=carry.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ), None
+
+    out0 = jnp.zeros((vt, cout), jnp.promote_types(src_feats.dtype, jnp.float32))
+    out, _ = jax.lax.scan(body, out0, (lo.T, weights, deltas))
+    return out.astype(src_feats.dtype), overflow
+
+
 def subm_conv_windowed(ids, feats, weights, deltas, block: int = 256,
                        window: int = 512, precision=None):
     """Submanifold conv over a (y, x, z)-major SORTED active list.
@@ -290,39 +355,125 @@ def subm_conv_windowed(ids, feats, weights, deltas, block: int = 256,
     ids: (V,) ascending int32 from yxz_linear_ids (V % block == 0);
     feats: (V, C) with zero rows at invalid slots; weights: (K, Cin, Cout);
     deltas: (K,) id deltas. EXACT as long as every offset's neighbor window
-    spans < `window` slots (holds when actives-per-id-span(|delta|) <
-    window - block; validated by tests / choose window per dataset).
-    """
-    v, cin = feats.shape
-    k, _, cout = weights.shape
-    nb = v // block
-    assert nb * block == v, "pad V to a multiple of block"
-    window = min(window, v)
+    spans < `window` slots — violations are counted in the returned
+    `overflow` scalar (ADVICE r1: checked at runtime, not assumed).
+    Returns (out, overflow)."""
+    return windowed_conv(ids, feats, ids, weights, deltas, block=block,
+                         window=window, precision=precision)
 
-    block_start = ids[::block]  # (NB,)
-    targets = (block_start[:, None] + deltas[None, :]).reshape(-1)
-    lo = jnp.searchsorted(ids, targets).reshape(nb, k)
-    lo = jnp.minimum(lo, v - window).astype(jnp.int32)
-    tgt_ids = ids.reshape(nb, block)
 
-    def body(carry, inputs):
-        lo_k, w_k, d_k = inputs
-        win_f = jax.vmap(
-            lambda l: jax.lax.dynamic_slice(feats, (l, 0), (window, cin))
-        )(lo_k)  # (NB, S, C)
-        win_i = jax.vmap(
-            lambda l: jax.lax.dynamic_slice(ids, (l,), (window,))
-        )(lo_k)  # (NB, S)
-        want = tgt_ids + d_k  # (NB, W)
-        onehot = (win_i[:, None, :] == want[:, :, None]).astype(feats.dtype)
-        # structurally exact (<=1 nonzero per onehot row) up to the matmul
-        # precision's rounding of the feature values themselves
-        g = jnp.einsum("nws,nsc->nwc", onehot, win_f, precision=precision)
-        return carry + jnp.dot(
-            g.reshape(v, cin), w_k, preferred_element_type=carry.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        ), None
+# ---- windowed STRIDED convs: map output voxels into the input id space ----
 
-    out0 = jnp.zeros((v, cout), jnp.promote_types(feats.dtype, jnp.float32))
-    out, _ = jax.lax.scan(body, out0, (lo.T, weights, deltas))
-    return out.astype(feats.dtype)
+def strided_deltas(kernel_size, stride, padding, in_shape):
+    """Per kernel tap, the SOURCE-id-space delta for a strided conv, plus the
+    static monotonicity check for the base-id mapping.
+
+    For output cell o, tap t (0-indexed kernel position): input cell =
+    stride*o + t - pad. In guard-banded yxz ids: id_in = base(o) + delta(t)
+    with base(o) = s_y*o_y*SY + s_x*o_x*SX + s_z*o_z and
+    delta(t) = t_y*SY + (t_x+1)*SX + (t_z+1)."""
+    stride_x, stride_y = _yxz_strides(in_shape)
+    offs = _kernel_offsets(kernel_size)  # (K, 3) zyx centered
+    center = np.asarray([(k - 1) // 2 for k in kernel_size])
+    t = offs + center[None, :] - np.asarray(padding)[None, :]  # (K, 3) zyx
+    return (t[:, 1] * stride_y + (t[:, 2] + 1) * stride_x + (t[:, 0] + 1)
+            ).astype(np.int32)
+
+
+def strided_base_ids(out_coords, out_valid, stride, in_shape, out_shape):
+    """Map output voxels (sorted by their OUTPUT yxz id) to ascending base
+    ids in the INPUT id space. Requires the lexicographic (y, x, z) output
+    order to survive the stride scaling — asserted statically."""
+    nz_i, ny_i, nx_i = (int(s) for s in in_shape)
+    nz_o, ny_o, nx_o = (int(s) for s in out_shape)
+    sz, sy, sx = (int(s) for s in stride)
+    stride_x, stride_y = _yxz_strides(in_shape)
+    # monotonicity: x+z contributions must not overflow one y step, and z
+    # must not overflow one x step
+    assert sx * stride_x * (nx_o - 1) + sz * (nz_o - 1) < sy * stride_y, (
+        "strided base-id mapping not monotone in y", in_shape, out_shape)
+    assert sz * (nz_o - 1) < sx * stride_x, (
+        "strided base-id mapping not monotone in x", in_shape, out_shape)
+    base = (out_coords[:, 1] * (sy * stride_y)
+            + out_coords[:, 2] * (sx * stride_x)
+            + out_coords[:, 0] * sz)
+    big = (ny_i + 2) * stride_y + 2 * stride_x  # > any valid base + delta
+    slot = jnp.arange(out_coords.shape[0], dtype=jnp.int32)
+    return jnp.where(out_valid, base, big + slot).astype(jnp.int32)
+
+
+def win_downsample(coords, valid, in_shape, out_shape, max_out: int,
+                   kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1)):
+    """Strided-conv active-set build emitting the output SORTED by its
+    (y, x, z)-major id — the windowed pipeline's invariant — so no per-level
+    re-sort or lookup table is ever needed. Semantics match
+    downsample_active_set (exact spconv receptive-field rule).
+
+    Returns (out_ids (Vo,), out_coords (Vo, 3), out_valid (Vo,)) with
+    invalid rows carrying ascending sentinel ids (sorted overall)."""
+    kz, ky, kx = kernel_size
+    sz, sy, sx = stride
+    pz, py, px = padding
+    nz_o, ny_o, nx_o = (int(s) for s in out_shape)
+
+    def axis_candidates(i, ks, s, p, n_out):
+        lo = jnp.ceil((i + p - ks + 1) / s).astype(jnp.int32)
+        hi = jnp.floor((i + p) / s).astype(jnp.int32)
+        max_c = (ks + s - 1) // s + 1
+        cand = lo[:, None] + jnp.arange(max_c)[None, :]
+        ok = (cand <= hi[:, None]) & (cand >= 0) & (cand < n_out)
+        return cand, ok
+
+    cz, okz = axis_candidates(coords[:, 0], kz, sz, pz, nz_o)
+    cy, oky = axis_candidates(coords[:, 1], ky, sy, py, ny_o)
+    cx, okx = axis_candidates(coords[:, 2], kx, sx, px, nx_o)
+    mz, my, mx = cz.shape[1], cy.shape[1], cx.shape[1]
+    v = coords.shape[0]
+    zz = jnp.broadcast_to(cz[:, :, None, None], (v, mz, my, mx))
+    yy = jnp.broadcast_to(cy[:, None, :, None], (v, mz, my, mx))
+    xx = jnp.broadcast_to(cx[:, None, None, :], (v, mz, my, mx))
+    ok = (okz[:, :, None, None] & oky[:, None, :, None]
+          & okx[:, None, None, :]) & valid[:, None, None, None]
+    cand = jnp.stack([zz, yy, xx], axis=-1).reshape(-1, 3)
+    ok = ok.reshape(-1)
+
+    # sort/dedup key = guard-banded yxz id of the candidate (injective)
+    stride_x, stride_y = _yxz_strides(out_shape)
+    cid = (cand[:, 1] * stride_y + (cand[:, 2] + 1) * stride_x
+           + (cand[:, 0] + 1))
+    sentinel = (ny_o + 1) * stride_y + stride_x + 2
+    cid = jnp.where(ok, cid, sentinel)
+
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    is_real = cid_sorted < sentinel
+    newseg = jnp.concatenate(
+        [is_real[:1], (cid_sorted[1:] != cid_sorted[:-1]) & is_real[1:]]
+    )
+    slot = jnp.cumsum(newseg.astype(jnp.int32)) - 1
+    keep = newseg & (slot < max_out)
+
+    out_coords = jnp.full((max_out + 1, 3), -1, jnp.int32)
+    cand_sorted = cand[order]
+    write_slot = jnp.where(keep, slot, max_out)
+    out_coords = out_coords.at[write_slot].set(
+        jnp.where(keep[:, None], cand_sorted, -1)
+    )[:max_out]
+    num_out = jnp.minimum(jnp.sum(newseg), max_out)
+    out_valid = jnp.arange(max_out) < num_out
+    out_ids = yxz_linear_ids(out_coords, out_valid, out_shape)
+    return out_ids, out_coords, out_valid
+
+
+def coords_to_dense(coords, valid, feats, shape):
+    """(V, C) active features + zyx coords -> dense (nz, ny, nx, C); the
+    tableless counterpart of sparse_to_dense for the windowed pipeline."""
+    nz, ny, nx = (int(s) for s in shape)
+    c = feats.shape[-1]
+    lin, inside = linear_id(coords, (nz, ny, nx))
+    lin = jnp.where(valid & inside, lin, nz * ny * nx)
+    dense = jnp.zeros((nz * ny * nx + 1, c), feats.dtype)
+    dense = dense.at[lin].set(
+        jnp.where((valid & inside)[:, None], feats, 0.0)
+    )
+    return dense[:-1].reshape(nz, ny, nx, c)

@@ -67,6 +67,8 @@ def test_windowed_subm_matches_gather():
             var0 = bb.init(jax.random.PRNGKey(0), dict(batch), train=False)
         out = bb.apply(var0, dict(batch), train=False)
         outs[mode] = np.asarray(out["encoded_spconv_tensor"])
+        if mode == "windowed":
+            assert int(out["sparse_window_overflow"]) == 0
     np.testing.assert_allclose(outs["gather"], outs["windowed"], atol=5e-3)
 
 

@@ -187,3 +187,133 @@ def test_capacity_overflow_truncates():
     oc, ov = downsample_active_set(grid, (3, 6, 6), max_out=10)
     assert int(np.asarray(ov).sum()) == 10
     assert np.all(np.asarray(oc)[~np.asarray(ov)] == -1)
+
+
+# ---------------------------------------------------------------- windowed
+
+def _sorted_win(coords, valid, feats, shape):
+    from findnpropagate_tpu.ops.sparse_ops import yxz_linear_ids
+
+    ids = np.asarray(yxz_linear_ids(jnp.asarray(coords), jnp.asarray(valid),
+                                    shape))
+    order = np.argsort(ids)
+    return (jnp.asarray(ids[order]), jnp.asarray(coords[order]),
+            jnp.asarray(valid[order]), jnp.asarray(feats[order]))
+
+
+def test_subm_conv_windowed_full_density():
+    """FULL occupancy (every cell active) — the hardest case for the window
+    precondition (ADVICE r1): verify exactness against the gather path and a
+    zero overflow count with an adequate window, and a NONZERO overflow
+    count when the window is too small."""
+    from findnpropagate_tpu.ops.sparse_ops import (
+        subm_conv_windowed, yxz_offset_deltas,
+    )
+
+    shape = (4, 8, 8)  # nz, ny, nx -> 256 cells, all active
+    nz, ny, nx = shape
+    zz, yy, xx = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                             indexing="ij")
+    coords = np.stack([zz, yy, xx], -1).reshape(-1, 3).astype(np.int32)
+    v = coords.shape[0]
+    rng = np.random.RandomState(3)
+    cin, cout = 4, 5
+    feats = rng.randn(v, cin).astype(np.float32)
+    valid = np.ones(v, bool)
+    weights = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32))
+
+    grid = build_grid(jnp.asarray(coords), jnp.asarray(valid), shape)
+    want = np.asarray(subm_conv(grid, jnp.asarray(feats), weights))
+
+    ids, sc, sv, sf = _sorted_win(coords, valid, feats, shape)
+    deltas = jnp.asarray(yxz_offset_deltas((3, 3, 3), shape))
+    # worst id-span at full density: dy offset spans ~(nx+2)*(nz+2) ids but
+    # only nx*nz actives; window must cover block + that span
+    out, ovf = subm_conv_windowed(
+        ids, sf, weights, deltas, block=64, window=128,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    assert int(ovf) == 0
+    # un-sort to compare
+    from findnpropagate_tpu.ops.sparse_ops import yxz_linear_ids
+    ids0 = np.asarray(yxz_linear_ids(jnp.asarray(coords),
+                                     jnp.asarray(valid), shape))
+    order = np.argsort(ids0)
+    got = np.zeros_like(want)
+    got[order] = np.asarray(out)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # too-small window MUST be detected, not silently wrong
+    _, ovf_small = subm_conv_windowed(
+        ids, sf, weights, deltas, block=64, window=32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    assert int(ovf_small) > 0
+
+
+def test_windowed_strided_matches_strided_conv():
+    """Windowed strided conv (output voxels mapped into the input id space)
+    must equal the table-gather strided conv on the same active sets."""
+    from findnpropagate_tpu.ops.sparse_ops import (
+        strided_base_ids, strided_deltas, win_downsample, windowed_conv,
+    )
+
+    rng = np.random.RandomState(5)
+    cin, cout = 4, 6
+    in_shape = SHAPE
+    out_shape = tuple((n + 2 * 1 - 3) // 2 + 1 for n in in_shape)
+    coords, valid, feats = random_sparse(rng, 90, 128, cin)
+    weights = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32))
+
+    # reference: exact active set + table-gather conv
+    grid_in = build_grid(jnp.asarray(coords), jnp.asarray(valid), in_shape)
+    oc_ref, ov_ref = downsample_active_set(grid_in, out_shape, max_out=128)
+    grid_out = build_grid(oc_ref, ov_ref, out_shape)
+    want = np.asarray(strided_conv(grid_in, jnp.asarray(feats), grid_out,
+                                   weights))
+
+    # windowed path
+    ids, sc, sv, sf = _sorted_win(coords, valid, feats, in_shape)
+    oi, oc, ov = win_downsample(sc, sv, in_shape, out_shape, 128)
+    assert int(ov.sum()) == int(ov_ref.sum())
+    deltas = jnp.asarray(strided_deltas((3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                        in_shape))
+    base = strided_base_ids(oc, ov, (2, 2, 2), in_shape, out_shape)
+    got, ovf = windowed_conv(ids, sf, base, weights, deltas, block=64,
+                             window=128,
+                             precision=jax.lax.Precision.HIGHEST)
+    assert int(ovf) == 0
+
+    # compare per-coordinate (orderings differ: zyx-major vs yxz-major)
+    def keyed(c, v, f):
+        d = {}
+        for i in range(len(v)):
+            if v[i]:
+                d[tuple(np.asarray(c[i]))] = np.asarray(f[i])
+        return d
+
+    dw = keyed(np.asarray(grid_out.coords), np.asarray(grid_out.valid), want)
+    dg = keyed(np.asarray(oc), np.asarray(ov), np.asarray(got))
+    assert set(dw) == set(dg)
+    for k in dw:
+        np.testing.assert_allclose(dg[k], dw[k], atol=1e-4, err_msg=str(k))
+
+
+def test_win_downsample_sorted_and_exact():
+    """win_downsample output must be ascending in yxz id and cover exactly
+    the spconv receptive-field active set."""
+    from findnpropagate_tpu.ops.sparse_ops import win_downsample
+
+    rng = np.random.RandomState(7)
+    coords, valid, _ = random_sparse(rng, 70, 96, 1)
+    out_shape = tuple((n + 2 - 3) // 2 + 1 for n in SHAPE)
+    oi, oc, ov = win_downsample(jnp.asarray(coords), jnp.asarray(valid),
+                                SHAPE, out_shape, 96)
+    oi = np.asarray(oi)
+    assert np.all(np.diff(oi) > 0), "ids must be strictly ascending"
+
+    grid = build_grid(jnp.asarray(coords), jnp.asarray(valid), SHAPE)
+    oc_ref, ov_ref = downsample_active_set(grid, out_shape, max_out=96)
+    ref_set = {tuple(c) for c, v in zip(np.asarray(oc_ref), np.asarray(ov_ref)) if v}
+    got_set = {tuple(c) for c, v in zip(np.asarray(oc), np.asarray(ov)) if v}
+    assert ref_set == got_set
