@@ -41,11 +41,13 @@ from ...ops.sparse_ops import (
     strided_base_ids,
     strided_conv,
     strided_deltas,
+    strided_sentinel_start,
     subm_conv,
     win_downsample,
     windowed_conv,
     yxz_linear_ids,
     yxz_offset_deltas,
+    yxz_sentinel_start,
 )
 
 
@@ -249,10 +251,11 @@ class _SparseStack(nn.Module):
             shape = m
             block, window, _, prec = self._win_cfg()
             deltas = jnp.asarray(yxz_offset_deltas(kernel, shape))
+            sent = yxz_sentinel_start(shape)
             out, ovf = jax.vmap(
                 lambda i, f: windowed_conv(
                     i, f, i, w, deltas, block=block, window=window,
-                    precision=prec,
+                    precision=prec, sentinel_start=sent,
                 )
             )(ids, feats)
             ovf_acc.append(jnp.sum(ovf))
@@ -300,10 +303,11 @@ class _SparseStack(nn.Module):
                 lambda c, v: strided_base_ids(c, v, stride, in_shape,
                                               out_shape)
             )(oc, ov)
+            sent = strided_sentinel_start(in_shape)
             out, ovf = jax.vmap(
                 lambda si, sf, ti: windowed_conv(
                     si, sf, ti, w, deltas, block=block, window=swindow,
-                    precision=prec,
+                    precision=prec, sentinel_start=sent,
                 )
             )(ids, feats, base)
             ovf_acc.append(jnp.sum(ovf))

@@ -56,11 +56,11 @@ NUSCENES_ANCHORS = np.array(
 
 
 class SeekerOutput(NamedTuple):
-    boxes: jax.Array    # (D, 7) one proposal per 2D detection (topk=1)
-    scores: jax.Array   # (D,) the 2D detection score
-    oracle: jax.Array   # (D,) oracle score of the kept proposal
-    labels: jax.Array   # (D,) int32 1-indexed class
-    valid: jax.Array    # (D,) bool
+    boxes: jax.Array    # (D*topk, 7) proposals (reference repeats the 2D
+    scores: jax.Array   # (D*topk,) detection score per kept proposal,
+    oracle: jax.Array   # (D*topk,) oracle score,
+    labels: jax.Array   # (D*topk,) int32 1-indexed class,
+    valid: jax.Array    # (D*topk,) bool — frustum_proposals_v1.py:1041-1056
 
 
 @dataclass(frozen=True)
@@ -76,6 +76,13 @@ class FrustumProposerOG:
     iou_w: float = 0.95
     dst_w: float = 0.226
     dns_w: float = 0.05
+    # optional oracle terms (reference defaults 0; frustum_proposals_v1.py:
+    # 164-192, 985-1027)
+    aln_w: float = 0.0
+    occl_w: float = 0.0
+    ego_w: float = 0.0
+    mult: bool = False        # MULT: multiplicative score blend (:998-1001)
+    occl_mult: bool = False   # OCCL_MULT: dns * iou * occl (:1022-1027)
     min_cam_iou: float = 0.3
     size_min: float = 0.957
     size_max: float = 1.2
@@ -259,37 +266,84 @@ class FrustumProposerOG:
 
             # density: points-in-boxes count of the on-box points (:920-994)
             inside = points_in_boxes_mask(pts, boxes3d)  # (N, P)
-            counts = jnp.sum(inside & on_box[None, :], axis=1).astype(jnp.float32)
+            in_frust = inside & on_box[None, :]
+            counts = jnp.sum(in_frust, axis=1).astype(jnp.float32)
             max_count = jnp.max(jnp.where(prop_valid, counts, 0.0))
             soft_density = counts / (max_count + 1e-8)
 
-            oracle = (
-                soft_density * self.dns_w
-                + ious * self.iou_w
-                + dists_ranked * self.dst_w
-            )
+            if self.mult:  # MULT blend (:1001)
+                oracle = (soft_density * self.dns_w) * (ious * self.iou_w) \
+                    * (dists_ranked * self.dst_w)
+            else:
+                oracle = (
+                    soft_density * self.dns_w
+                    + ious * self.iou_w
+                    + dists_ranked * self.dst_w
+                )
+
+            if self.aln_w > 0:
+                # PCA alignment (:985-993): second principal direction of the
+                # in-box points vs the proposal yaw, only when > 3 points
+                m = in_frust.astype(jnp.float32)          # (N, P)
+                n_in = jnp.sum(m, axis=1)                  # (N,)
+                mean = (m @ pts) / jnp.maximum(n_in, 1.0)[:, None]
+                diff = pts[None, :, :] - mean[:, None, :]  # (N, P, 3)
+                diff = diff * m[:, :, None]
+                cov = jnp.einsum("npi,npj->nij", diff, diff)
+                _, vecs = jnp.linalg.eigh(cov)             # ascending eigvals
+                v2 = vecs[:, :, 1]                         # second-largest
+                v2 = v2 / (jnp.linalg.norm(v2, axis=-1, keepdims=True) + 1e-8)
+                aln = v2[:, 0] * jnp.cos(boxes3d[:, 6]) \
+                    + v2[:, 1] * jnp.sin(boxes3d[:, 6])
+                oracle = oracle + jnp.where(n_in > 3, aln, 0.0) * self.aln_w
+
+            if self.occl_w > 0 or self.occl_mult:
+                # occlusion (:408-477): frustum points farther than the
+                # box's closest corner yet NOT inside it are failures
+                mags_p = jnp.linalg.norm(pts, axis=-1)     # (P,)
+                m1 = jnp.min(jnp.linalg.norm(corners, axis=-1), axis=1)  # (N,)
+                fail = on_box[None, :] & (mags_p[None, :] > m1[:, None]) \
+                    & (~inside)
+                occl = jnp.sum(fail, axis=1).astype(jnp.float32)
+                if self.occl_mult:  # OCCL_MULT (:1022-1027)
+                    oracle = soft_density * ious * occl
+                else:
+                    occl_ranked = 1.0 - occl / (
+                        jnp.max(jnp.where(prop_valid, occl, 0.0)) + 1e-6
+                    )
+                    oracle = oracle + self.occl_w * occl_ranked
+
+            if self.ego_w > 0:  # farther-from-ego rank (:1016-1020)
+                ego_d = jnp.linalg.norm(boxes3d[:, :3], axis=-1)
+                ego_rank = ego_d / (
+                    jnp.max(jnp.where(prop_valid, ego_d, 0.0)) + 1e-8
+                )
+                oracle = oracle + self.ego_w * ego_rank
+
             oracle = jnp.where(prop_valid, oracle, -1e9)
 
-            # axis-aligned NMS + top-1 (:1030-1045; topk=1)
+            # axis-aligned NMS + topk (:1030-1045)
             idx, num = nms_normal_bev(
                 boxes3d, oracle, self.nms_normal,
-                pre_maxsize=n_prop, post_maxsize=1,
+                pre_maxsize=n_prop, post_maxsize=self.topk,
                 valid_mask=prop_valid,
             )
-            best = jnp.clip(idx[0], 0)
-            ok = kept & (idx[0] >= 0) & (n_box_pts > 0)
-            return boxes3d[best], oracle[best], ok
+            sel = jnp.clip(idx, 0)
+            ok = kept & (idx >= 0) & (n_box_pts > 0)
+            return boxes3d[sel], oracle[sel], ok
 
         boxes_o, oracle_o, valid_o = jax.vmap(per_det)(
             det_boxes, det_labels, det_scores,
             jnp.clip(det_cams, 0), keep,
-        )
+        )  # (D, K, 7), (D, K), (D, K)
+        k = self.topk
+        d = det_scores.shape[0]
         return SeekerOutput(
-            boxes=boxes_o,
-            scores=det_scores,
-            oracle=oracle_o,
-            labels=det_labels.astype(jnp.int32),
-            valid=valid_o,
+            boxes=boxes_o.reshape(d * k, 7),
+            scores=jnp.repeat(det_scores, k),
+            oracle=oracle_o.reshape(d * k),
+            labels=jnp.repeat(det_labels.astype(jnp.int32), k),
+            valid=valid_o.reshape(d * k),
         )
 
     def propose_batch(self, batch):

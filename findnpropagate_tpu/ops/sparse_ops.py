@@ -283,8 +283,23 @@ def yxz_offset_deltas(kernel_size, shape):
     return offs[:, 1] * stride_y + offs[:, 2] * stride_x + offs[:, 0]
 
 
+def yxz_sentinel_start(shape):
+    """First id value used for invalid-slot sentinels by yxz_linear_ids."""
+    nz, ny, nx = (int(s) for s in shape)
+    stride_x, stride_y = _yxz_strides(shape)
+    return (ny + 1) * stride_y + stride_x + 2
+
+
+def strided_sentinel_start(in_shape):
+    """First sentinel value used by strided_base_ids (input id space)."""
+    nz, ny, nx = (int(s) for s in in_shape)
+    stride_x, stride_y = _yxz_strides(in_shape)
+    return (ny + 2) * stride_y + 2 * stride_x
+
+
 def windowed_conv(src_ids, src_feats, tgt_ids, weights, deltas,
-                  block: int = 256, window: int = 512, precision=None):
+                  block: int = 256, window: int = 512, precision=None,
+                  sentinel_start=None):
     """Generalized windowed one-hot sparse conv.
 
     For every target row t and kernel tap k, accumulates
@@ -310,7 +325,20 @@ def windowed_conv(src_ids, src_feats, tgt_ids, weights, deltas,
     window = min(window, vs)
 
     block_first = tgt_ids[::block]            # (NB,)
-    block_last = tgt_ids[block - 1::block]    # (NB,)
+    if sentinel_start is not None:
+        # sorted lists keep sentinels (invalid-slot padding) at the back, so
+        # within a block the real targets are a prefix; spans must be
+        # measured to the last REAL target or boundary blocks report
+        # false-positive overflows (sentinel ids live far above valid ids)
+        tgt_b_all = tgt_ids.reshape(nb, block)
+        real_b = tgt_b_all < sentinel_start
+        block_last = jnp.max(
+            jnp.where(real_b, tgt_b_all, jnp.iinfo(jnp.int32).min), axis=1
+        )
+        has_real = jnp.any(real_b, axis=1)
+    else:
+        block_last = tgt_ids[block - 1::block]
+        has_real = jnp.ones((nb,), bool)
     lo = jnp.searchsorted(
         src_ids, (block_first[:, None] + deltas[None, :]).reshape(-1)
     ).reshape(nb, k)
@@ -320,7 +348,7 @@ def windowed_conv(src_ids, src_feats, tgt_ids, weights, deltas,
         side="right",
     ).reshape(nb, k).astype(jnp.int32)
     # exactness check (runtime): every (block, tap) span must fit the window
-    overflow = jnp.sum((hi - lo) > window)
+    overflow = jnp.sum(((hi - lo) > window) & has_real[:, None])
     tgt_b = tgt_ids.reshape(nb, block)
 
     def body(carry, inputs):
