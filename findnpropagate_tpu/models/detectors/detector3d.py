@@ -30,6 +30,7 @@ from ..dense_heads.anchor_head import make_anchor_head_tools
 from ..dense_heads.center_head import make_center_head_tools
 from ..dense_heads.transfusion_head import make_transfusion_tools
 from ..post_processing import post_process
+from ..roi_heads import ROI_HEAD_REGISTRY
 from ..vfe import VFE_REGISTRY
 
 
@@ -96,6 +97,16 @@ class DetectorModule(nn.Module):
                 voxel_size=tuple(self.voxel_size),
             )
             modules.append("dense_head")
+        if "ROI_HEAD" in cfg:
+            roi_cls = ROI_HEAD_REGISTRY[cfg["ROI_HEAD"]["NAME"]]
+            self.roi_head = roi_cls(
+                model_cfg=cfg["ROI_HEAD"],
+                point_cloud_range=tuple(self.point_cloud_range),
+                voxel_size=tuple(self.voxel_size),
+                num_class=1 if cfg["ROI_HEAD"].get("CLASS_AGNOSTIC", True)
+                else self.num_class,
+            )
+            modules.append("roi_head")
         self.module_order = tuple(modules)
 
     def _voxelize(self, batch):
@@ -138,17 +149,22 @@ class Detector3D:
 
     def init(self, rng, example_batch):
         return self.module.init(
-            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+             "sampling": jax.random.fold_in(rng, 2)},
             example_batch, train=True,
         )
 
     def apply(self, variables, batch, train: bool = False, rng=None, **kw):
-        rngs = {"dropout": rng} if rng is not None else None
+        rngs = None
+        if rng is not None:
+            rngs = {"dropout": rng,
+                    "sampling": jax.random.fold_in(rng, 7)}
         return self.module.apply(variables, batch, train=train, rngs=rngs, **kw)
 
     def loss(self, variables, batch, rng=None):
         """Pure (variables, batch) -> (loss, (tb_dict, mutated_collections))."""
-        rngs = {"dropout": rng if rng is not None else jax.random.PRNGKey(0)}
+        base = rng if rng is not None else jax.random.PRNGKey(0)
+        rngs = {"dropout": base, "sampling": jax.random.fold_in(base, 7)}
         out, mut = self.module.apply(
             variables, batch, train=True, mutable=["batch_stats"], rngs=rngs
         )
@@ -156,6 +172,22 @@ class Detector3D:
         return loss, (tb, mut)
 
     def post_process(self, out_batch, max_det: int = 256):
+        if "rcnn_iou" in out_batch:
+            # two-stage IoU head: stage-2 scores on stage-1 boxes
+            from ..post_processing import post_process_two_stage
+
+            pc = self.post_cfg
+            nms_cfg = pc["NMS_CONFIG"]
+            return post_process_two_stage(
+                out_batch["batch_cls_preds"],
+                out_batch["batch_box_preds"],
+                out_batch["batch_roi_labels"],
+                out_batch.get("roi_valid"),
+                float(nms_cfg["NMS_THRESH"]),
+                score_thresh=float(pc.get("SCORE_THRESH", 0.1)),
+                nms_pre=int(nms_cfg.get("NMS_PRE_MAXSIZE", 1024)),
+                nms_post=int(nms_cfg.get("NMS_POST_MAXSIZE", 256)),
+            )
         if "transfusion_preds" in out_batch:
             # TransFusion decodes its own queries; no dense NMS needed
             return self.head_tools.get_bboxes(
@@ -228,6 +260,24 @@ def build_detector(model_cfg, num_class, dataset):
             unknown_labels=unknown_labels,
             relabel_lut=relabel_lut,
         )
+    if head_tools is not None and "ROI_HEAD" in model_cfg:
+        from ..roi_heads.second_head import rcnn_iou_loss
+
+        @dataclass
+        class TwoStageTools:
+            stage1: Any
+            roi_loss_cfg: Any
+
+            def compute_loss(self, out_batch):
+                loss1, tb = self.stage1.compute_loss(out_batch)
+                loss2, tb2 = rcnn_iou_loss(out_batch, self.roi_loss_cfg)
+                tb = dict(tb)
+                tb.update(tb2)
+                return loss1 + loss2, tb
+
+        head_tools = TwoStageTools(head_tools,
+                                   model_cfg["ROI_HEAD"]["LOSS_CONFIG"])
+
     return Detector3D(
         module=module,
         model_cfg=model_cfg,

@@ -83,3 +83,38 @@ def recall_record(det_boxes, det_mask, gt_boxes, thresh_list=(0.3, 0.5, 0.7),
     for t in thresh_list:
         out[f"recall_{t}"] = jnp.sum(best > t)
     return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("score_thresh", "nms_pre", "nms_post")
+)
+def post_process_two_stage(rcnn_scores, rois, roi_labels, roi_valid,
+                           nms_thresh, score_thresh: float = 0.1,
+                           nms_pre: int = 1024, nms_post: int = 256):
+    """Two-stage (IoU-head) post-processing: class labels come from the
+    first stage's ROIs, scores from the second stage (reference
+    second_net_iou.py + detector3d_template.py:199-298 has_class_labels
+    path). rcnn_scores (B, M, 1) logits; rois (B, M, 7); roi_labels (B, M)
+    1-indexed."""
+    scores = jax.nn.sigmoid(rcnn_scores[..., 0])
+    if roi_valid is not None:
+        scores = jnp.where(roi_valid, scores, 0.0)
+
+    def one(boxes_s, scores_s, labels_s):
+        valid = scores_s >= score_thresh
+        idx, num = nms_bev(
+            boxes_s, scores_s, nms_thresh,
+            pre_maxsize=nms_pre, post_maxsize=nms_post, valid_mask=valid,
+        )
+        safe = jnp.clip(idx, 0)
+        good = idx >= 0
+        return (
+            jnp.where(good[:, None], boxes_s[safe], 0.0),
+            jnp.where(good, scores_s[safe], 0.0),
+            jnp.where(good, labels_s[safe], 0),
+            num,
+        )
+
+    boxes, scores_o, labels_o, count = jax.vmap(one)(rois, scores,
+                                                     roi_labels)
+    return Detections(boxes, scores_o, labels_o, count)

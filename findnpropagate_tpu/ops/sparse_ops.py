@@ -457,40 +457,45 @@ def win_downsample(coords, valid, in_shape, out_shape, max_out: int,
     cx, okx = axis_candidates(coords[:, 2], kx, sx, px, nx_o)
     mz, my, mx = cz.shape[1], cy.shape[1], cx.shape[1]
     v = coords.shape[0]
-    zz = jnp.broadcast_to(cz[:, :, None, None], (v, mz, my, mx))
-    yy = jnp.broadcast_to(cy[:, None, :, None], (v, mz, my, mx))
-    xx = jnp.broadcast_to(cx[:, None, None, :], (v, mz, my, mx))
+
+    # candidate ids directly (no (N, 3) coord materialization): the dedup
+    # key IS the guard-banded yxz id (injective over the padded grid), and
+    # coords are recovered arithmetically from the id afterwards — this
+    # keeps the whole downsample sort+top_k bound (~5 ms at L0 scale)
+    # instead of 1M-row gather/scatter bound (~90 ms).
+    stride_x, stride_y = _yxz_strides(out_shape)
+    cid = (cy[:, None, :, None] * stride_y
+           + (cx[:, None, None, :] + 1) * stride_x
+           + (cz[:, :, None, None] + 1))
     ok = (okz[:, :, None, None] & oky[:, None, :, None]
           & okx[:, None, None, :]) & valid[:, None, None, None]
-    cand = jnp.stack([zz, yy, xx], axis=-1).reshape(-1, 3)
-    ok = ok.reshape(-1)
-
-    # sort/dedup key = guard-banded yxz id of the candidate (injective)
-    stride_x, stride_y = _yxz_strides(out_shape)
-    cid = (cand[:, 1] * stride_y + (cand[:, 2] + 1) * stride_x
-           + (cand[:, 0] + 1))
     sentinel = (ny_o + 1) * stride_y + stride_x + 2
-    cid = jnp.where(ok, cid, sentinel)
+    cid = jnp.where(ok, cid, sentinel).reshape(-1)
 
-    order = jnp.argsort(cid)
-    cid_sorted = cid[order]
+    cid_sorted = jnp.sort(cid)
     is_real = cid_sorted < sentinel
     newseg = jnp.concatenate(
         [is_real[:1], (cid_sorted[1:] != cid_sorted[:-1]) & is_real[1:]]
     )
-    slot = jnp.cumsum(newseg.astype(jnp.int32)) - 1
-    keep = newseg & (slot < max_out)
-
-    out_coords = jnp.full((max_out + 1, 3), -1, jnp.int32)
-    cand_sorted = cand[order]
-    write_slot = jnp.where(keep, slot, max_out)
-    out_coords = out_coords.at[write_slot].set(
-        jnp.where(keep[:, None], cand_sorted, -1)
-    )[:max_out]
+    uniq = jnp.where(newseg, cid_sorted, jnp.iinfo(jnp.int32).max)
+    neg, _ = jax.lax.top_k(-uniq, max_out)
+    out_ids = -neg  # ascending unique ids, iinfo.max tail when short
     num_out = jnp.minimum(jnp.sum(newseg), max_out)
     out_valid = jnp.arange(max_out) < num_out
-    out_ids = yxz_linear_ids(out_coords, out_valid, out_shape)
-    return out_ids, out_coords, out_valid
+
+    # id -> coords (exact inverse of the guard-banded formula)
+    oy = out_ids // stride_y
+    rem = out_ids % stride_y
+    oxc = rem // stride_x - 1
+    ozc = rem % stride_x - 1
+    out_coords = jnp.where(
+        out_valid[:, None],
+        jnp.stack([ozc, oy, oxc], axis=1), -1
+    ).astype(jnp.int32)
+    # invalid slots get the standard ascending sentinels (sorted overall)
+    slot = jnp.arange(max_out, dtype=jnp.int32)
+    out_ids = jnp.where(out_valid, out_ids, sentinel + slot)
+    return out_ids.astype(jnp.int32), out_coords, out_valid
 
 
 def coords_to_dense(coords, valid, feats, shape):

@@ -140,3 +140,20 @@ def reg_loss_centernet(regr, gt_regr, mask):
 def clip_sigmoid(x, eps: float = 1e-4):
     """TransFusion's clamped sigmoid (model_utils/transfusion_utils.py)."""
     return jnp.clip(jax.nn.sigmoid(x), eps, 1 - eps)
+
+
+def corner_loss_lidar(pred_boxes, gt_boxes):
+    """Corner-distance loss (reference loss_utils.py:364-392
+    get_corner_loss_lidar): smooth-L1 of per-corner distances against the gt
+    box and its pi-flipped twin, taking the minimum. Returns (N,)."""
+    from .geometry import boxes_to_corners_3d
+
+    pred_c = boxes_to_corners_3d(pred_boxes)           # (N, 8, 3)
+    gt_c = boxes_to_corners_3d(gt_boxes)
+    gt_flip = gt_boxes.at[:, 6].add(jnp.pi)
+    gt_c_flip = boxes_to_corners_3d(gt_flip)
+    d = jnp.minimum(
+        jnp.linalg.norm(pred_c - gt_c, axis=2),
+        jnp.linalg.norm(pred_c - gt_c_flip, axis=2),
+    )
+    return jnp.mean(smooth_l1(d, beta=1.0), axis=1)
