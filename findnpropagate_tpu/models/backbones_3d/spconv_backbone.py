@@ -169,6 +169,23 @@ class _SparseStack(nn.Module):
                 "highest": jax.lax.Precision.HIGHEST}[prec_name]
         return block, window, swindow, prec
 
+    def _win_conv(self, src_ids, src_feats, tgt_ids, w, deltas, block,
+                  window, prec, sent, train):
+        """Dispatch one windowed conv: fused Pallas kernel on the inference
+        path when SUBM_IMPL == 'pallas' (bf16 MXU; gradients are not defined
+        through the kernel), XLA windowed_conv otherwise."""
+        impl = str(self.model_cfg.get("SUBM_IMPL", "xla")).lower()
+        if impl == "pallas" and not train:
+            from ...ops.pallas_sparse import windowed_conv_pallas
+
+            cd = jnp.float32 if prec is not None else jnp.bfloat16
+            return windowed_conv_pallas(
+                src_ids, src_feats, tgt_ids, w, deltas, block=block,
+                window=window, sentinel_start=sent, compute_dtype=cd)
+        return windowed_conv(
+            src_ids, src_feats, tgt_ids, w, deltas, block=block,
+            window=window, precision=prec, sentinel_start=sent)
+
     def _win_entry(self, coords, valid, feats, shape, ovf_acc):
         """Sort the batch's active sets into yxz-id order and pad V to a
         block multiple. If the voxelizer already emitted yxz order
@@ -253,9 +270,8 @@ class _SparseStack(nn.Module):
             deltas = jnp.asarray(yxz_offset_deltas(kernel, shape))
             sent = yxz_sentinel_start(shape)
             out, ovf = jax.vmap(
-                lambda i, f: windowed_conv(
-                    i, f, i, w, deltas, block=block, window=window,
-                    precision=prec, sentinel_start=sent,
+                lambda i, f: self._win_conv(
+                    i, f, i, w, deltas, block, window, prec, sent, train,
                 )
             )(ids, feats)
             ovf_acc.append(jnp.sum(ovf))
@@ -305,9 +321,8 @@ class _SparseStack(nn.Module):
             )(oc, ov)
             sent = strided_sentinel_start(in_shape)
             out, ovf = jax.vmap(
-                lambda si, sf, ti: windowed_conv(
-                    si, sf, ti, w, deltas, block=block, window=swindow,
-                    precision=prec, sentinel_start=sent,
+                lambda si, sf, ti: self._win_conv(
+                    si, sf, ti, w, deltas, block, swindow, prec, sent, train,
                 )
             )(ids, feats, base)
             ovf_acc.append(jnp.sum(ovf))

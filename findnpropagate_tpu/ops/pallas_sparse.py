@@ -13,10 +13,10 @@ whole conv per target block:
   * per-tap gathered features accumulate into a (K*C, W) VMEM buffer which
     one final (Cout, K*C) x (K*C, W) matmul turns into the output block.
 
-Inputs are prepared by the caller (sparse_ops.windowed_conv_pallas): sorted
-ids, transposed features (C, V), per-block window starts lo (NB,), and
-per-tap weights. Gradients fall back to the XLA windowed_conv via
-jax.custom_vjp (numerically identical semantics).
+All HBM operands are kept 2-D with the sliced axis LAST (lane dim), window
+starts/sizes aligned to 512 — the layouts Mosaic handles natively.
+Gradients route through the XLA windowed_conv (identical semantics) when
+training; this kernel is the inference path.
 """
 
 from __future__ import annotations
@@ -28,61 +28,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+ALIGN = 512
 
-def _fused_kernel(lo_ref, tgt_ref, ids_hbm, feats_hbm, deltas_ref, w_ref,
-                  out_ref, win_ids, win_feats, gbuf, sem_i, sem_f):
+
+def _fused_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, deltas_ref, w_ref,
+                  out_ref, win_ids, win_feats, tgt_buf, gbuf, sem_i, sem_f,
+                  sem_t, *, precision=None):
     """Grid: (NB,). One target block per step.
 
-    lo_ref: (NB,) SMEM window starts (scalar-prefetched)
-    tgt_ref: (W_BLK,) VMEM target ids for this block
-    ids_hbm: (V,) int32 in ANY/HBM; feats_hbm: (C, V) in ANY/HBM
+    lo_ref: (NB,) SMEM window starts (scalar-prefetched, 512-aligned)
+    tgt_hbm: (1, Vt) int32 ANY target ids (block i sliced by DMA)
+    ids_hbm: (1, V) int32 ANY; feats_hbm: (C, V) ANY
     deltas_ref: (K, 1) SMEM; w_ref: (Cout, K*C) VMEM
     out_ref: (Cout, W_BLK) VMEM output block
-    win_ids: (S,) VMEM scratch; win_feats: (C, S) VMEM scratch
-    gbuf: (K*C, W_BLK) VMEM scratch
+    win_ids: (1, S) VMEM scratch; win_feats: (C, S) VMEM scratch
+    tgt_buf: (1, W_BLK) VMEM scratch; gbuf: (K*C, W_BLK) VMEM scratch
     """
     i = pl.program_id(0)
-    lo = pl.multiple_of(lo_ref[i], 512)  # aligned by the caller
-    s = win_ids.shape[0]
+    lo = pl.multiple_of(lo_ref[i], ALIGN)
+    s = win_ids.shape[1]
     k = deltas_ref.shape[0]
     c = win_feats.shape[0]
-    w_blk = tgt_ref.shape[0]
+    w_blk = tgt_buf.shape[1]
+    t0 = pl.multiple_of(i * w_blk, ALIGN)  # block % 512 == 0 (asserted)
 
-    cp_i = pltpu.make_async_copy(ids_hbm.at[pl.ds(lo, s)], win_ids, sem_i)
+    cp_i = pltpu.make_async_copy(
+        ids_hbm.at[:, pl.ds(lo, s)], win_ids, sem_i)
     cp_f = pltpu.make_async_copy(
         feats_hbm.at[:, pl.ds(lo, s)], win_feats, sem_f)
+    cp_t = pltpu.make_async_copy(
+        tgt_hbm.at[:, pl.ds(t0, w_blk)], tgt_buf, sem_t)
     cp_i.start()
     cp_f.start()
+    cp_t.start()
     cp_i.wait()
     cp_f.wait()
+    cp_t.wait()
 
-    tgt = tgt_ref[:]                      # (W,)
-    wi = win_ids[:]                       # (S,)
+    tgt = tgt_buf[0, :]                   # (W,)
+    wi = win_ids[0, :]                    # (S,)
     wf = win_feats[:]                     # (C, S)
 
     def tap(kk, _):
         want = tgt + deltas_ref[kk, 0]    # (W,)
         onehot = (wi[:, None] == want[None, :]).astype(wf.dtype)  # (S, W)
-        g = jnp.dot(wf, onehot, preferred_element_type=jnp.float32)  # (C, W)
-        gbuf[pl.ds(kk * c, c), :] = g.astype(gbuf.dtype)
+        g = jnp.dot(wf, onehot, preferred_element_type=jnp.float32,
+                    precision=precision)  # (C, W)
+        gbuf[pl.ds(pl.multiple_of(kk * c, 8), c), :] = g.astype(gbuf.dtype)
         return 0
 
     jax.lax.fori_loop(0, k, tap, 0)
     out_ref[:, :] = jnp.dot(
-        w_ref[:], gbuf[:], preferred_element_type=jnp.float32
+        w_ref[:], gbuf[:], preferred_element_type=jnp.float32,
+        precision=precision,
     ).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block", "window"),
-)
-def _fused_call(ids, feats_t, tgt_ids, lo, deltas, w_flat, block, window):
-    """ids (V,), feats_t (C, V), tgt_ids (Vt,), lo (NB,), deltas (K,),
-    w_flat (Cout, K*C) -> out (Vt, Cout)."""
-    v = ids.shape[0]
-    vt = tgt_ids.shape[0]
-    nb = vt // block
+@functools.partial(jax.jit, static_argnames=("block", "window"))
+def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window):
+    """ids2 (1, V), feats_t (C, V), tgt2 (NB, block), lo (NB,), deltas (K,),
+    w_flat (Cout, K*C) -> out (Vt, Cout) f32."""
+    nb = tgt2.shape[0]
+    vt = nb * block
     c = feats_t.shape[0]
     k = deltas.shape[0]
     cout = w_flat.shape[0]
@@ -92,8 +99,7 @@ def _fused_call(ids, feats_t, tgt_ids, lo, deltas, w_flat, block, window):
         num_scalar_prefetch=1,          # lo
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block,), lambda i, lo_ref: (i,),
-                         memory_space=pltpu.VMEM),          # tgt block
+            pl.BlockSpec(memory_space=pltpu.ANY),           # tgt ids (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),           # ids (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),           # feats_t (HBM)
             pl.BlockSpec((k, 1), lambda i, lo_ref: (0, 0),
@@ -104,18 +110,23 @@ def _fused_call(ids, feats_t, tgt_ids, lo, deltas, w_flat, block, window):
         out_specs=pl.BlockSpec((cout, block), lambda i, lo_ref: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((window,), jnp.int32),
+            pltpu.VMEM((1, window), jnp.int32),
             pltpu.VMEM((c, window), compute_dtype),
+            pltpu.VMEM((1, block), jnp.int32),
             pltpu.VMEM((k * c, block), compute_dtype),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # bf16 inputs are single-pass exact on the MXU; f32 inputs need the
+    # full-precision contraction (Mosaic rejects fp32 precision on bf16)
+    prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     out_t = pl.pallas_call(
-        _fused_kernel,
+        functools.partial(_fused_kernel, precision=prec),
         out_shape=jax.ShapeDtypeStruct((cout, vt), jnp.float32),
         grid_spec=grid_spec,
-    )(lo, tgt_ids, ids, feats_t, deltas[:, None], w_flat)
+    )(lo, tgt2.reshape(1, -1), ids2, feats_t, deltas[:, None], w_flat)
     return out_t.T
 
 
@@ -123,28 +134,36 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
                          block: int = 512, window: int = 1536,
                          sentinel_start=None, compute_dtype=jnp.bfloat16):
     """Drop-in fused variant of sparse_ops.windowed_conv (same contract,
-    same (out, overflow) return). Union window per block; gradients route
-    through the XLA implementation via custom_vjp."""
-    from .sparse_ops import windowed_conv  # XLA fallback for VJP
-
+    same (out, overflow) return). One UNION window per target block covers
+    all taps; window starts/sizes are 512-aligned for the DMA engine."""
     vs, cin = src_feats.shape
     vt = tgt_ids.shape[0]
     k, _, cout = weights.shape
     nb = vt // block
     assert nb * block == vt, "pad Vt to a multiple of block"
+    assert block % ALIGN == 0, "pallas path needs block % 512 == 0"
+
+    # pad source to an ALIGN multiple (ascending sentinel ids, zero feats)
+    pad_src = (-vs) % ALIGN
+    if pad_src:
+        src_ids = jnp.concatenate(
+            [src_ids,
+             src_ids[-1] + 1 + jnp.arange(pad_src, dtype=jnp.int32)])
+        src_feats = jnp.concatenate(
+            [src_feats, jnp.zeros((pad_src, cin), src_feats.dtype)], axis=0)
+        vs = vs + pad_src
+
+    window = -(-(min(window, vs) + ALIGN) // ALIGN) * ALIGN
     window = min(window, vs)
 
     d_min = jnp.min(deltas)
     block_first = tgt_ids[::block]
     lo = jnp.searchsorted(src_ids, block_first + d_min)
-    # TPU DMA offsets must be tile-aligned: round starts down to 512 and
-    # widen the window by the same margin
-    window = min(window + 512, vs)
-    lo_max = ((vs - window) // 512) * 512
-    lo = jnp.minimum((lo // 512) * 512, lo_max).astype(jnp.int32)
+    lo_max = ((vs - window) // ALIGN) * ALIGN
+    lo = jnp.minimum((lo // ALIGN) * ALIGN, lo_max).astype(jnp.int32)
 
-    # overflow check against the UNION window (sentinel-aware like
-    # windowed_conv)
+    # overflow check against the union window (sentinel-aware, see
+    # sparse_ops.windowed_conv)
     d_max = jnp.max(deltas)
     if sentinel_start is not None:
         tgt_b = tgt_ids.reshape(nb, block)
@@ -161,6 +180,6 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
     feats_t = src_feats.T.astype(compute_dtype)
     w_flat = jnp.transpose(weights, (2, 0, 1)).reshape(cout, k * cin)
     w_flat = w_flat.astype(compute_dtype)
-    out = _fused_call(src_ids, feats_t, tgt_ids, lo, deltas, w_flat,
-                      block, window)
+    out = _fused_call(src_ids[None, :], feats_t, tgt_ids.reshape(nb, block),
+                      lo, deltas, w_flat, block, window)
     return out.astype(src_feats.dtype), overflow
