@@ -14,12 +14,16 @@ import numpy as np
 from .dataset import DatasetTemplate
 from .kitti import KittiDataset
 from .nuscenes import NuScenesDataset
+from .once import ONCEDataset
 from .synthetic import SyntheticDataset
+from .waymo import WaymoDataset
 
 DATASET_REGISTRY = {
     "SyntheticDataset": SyntheticDataset,
     "KittiDataset": KittiDataset,
     "NuScenesDataset": NuScenesDataset,
+    "WaymoDataset": WaymoDataset,
+    "ONCEDataset": ONCEDataset,
 }
 
 

@@ -1,0 +1,60 @@
+"""Dataset bootstrap CLI: info-pkl + gt-database generation from raw data.
+
+Reference equivalents: `python -m pcdet.datasets.kitti.kitti_dataset
+create_kitti_infos ...` and `python -m pcdet.datasets.nuscenes.nuscenes_dataset
+--func create_nuscenes_infos ...` (/root/reference). nuScenes runs
+DEVKIT-FREE here (direct JSON table reading).
+
+Usage:
+  python tools/create_infos.py kitti --data_path data/kitti [--gt_database]
+  python tools/create_infos.py nuscenes --data_path data/nuscenes \
+      --version v1.0-trainval --max_sweeps 10 [--with_cam] [--gt_database]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", choices=["kitti", "nuscenes"])
+    ap.add_argument("--data_path", required=True)
+    ap.add_argument("--save_path", default=None)
+    ap.add_argument("--version", default="v1.0-trainval")
+    ap.add_argument("--max_sweeps", type=int, default=10)
+    ap.add_argument("--with_cam", action="store_true")
+    ap.add_argument("--gt_database", action="store_true")
+    ap.add_argument("--classes", nargs="*", default=None)
+    args = ap.parse_args()
+
+    if args.dataset == "kitti":
+        from findnpropagate_tpu.datasets.kitti import (
+            create_groundtruth_database, create_kitti_infos,
+        )
+
+        out = create_kitti_infos(args.data_path, args.save_path)
+        if args.gt_database and "train" in out:
+            create_groundtruth_database(
+                args.data_path, out["train"], args.save_path,
+                used_classes=args.classes)
+    else:
+        from findnpropagate_tpu.datasets.nuscenes_infos import (
+            create_groundtruth_database, create_nuscenes_infos,
+        )
+
+        out = create_nuscenes_infos(
+            args.data_path, args.save_path, version=args.version,
+            max_sweeps=args.max_sweeps, with_cam=args.with_cam)
+        if args.gt_database and "train" in out:
+            create_groundtruth_database(
+                args.data_path, out["train"], args.save_path,
+                used_classes=args.classes)
+
+
+if __name__ == "__main__":
+    main()
