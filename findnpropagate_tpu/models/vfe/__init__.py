@@ -1,7 +1,12 @@
+from .dynamic_vfe import DynamicMeanVFE, DynamicPillarVFE
 from .mean_vfe import MeanVFE
 from .pillar_vfe import PillarVFE
 
 VFE_REGISTRY = {
     "MeanVFE": MeanVFE,
     "PillarVFE": PillarVFE,
+    "DynMeanVFE": DynamicMeanVFE,
+    "DynamicMeanVFE": DynamicMeanVFE,
+    "DynPillarVFE": DynamicPillarVFE,
+    "DynamicPillarVFE": DynamicPillarVFE,
 }

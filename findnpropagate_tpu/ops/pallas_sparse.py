@@ -177,9 +177,25 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
     hi = jnp.searchsorted(src_ids, block_last + d_max, side="right")
     overflow = jnp.sum(((hi - lo) > window) & has_real)
 
+    # sublane tiling needs channel counts in multiples of 8: zero-pad Cin
+    # (extra zero rows contribute nothing) and Cout (sliced off after)
+    cin_p = -(-cin // 8) * 8
+    cout_p = -(-cout // 8) * 8
+    if cin_p != cin:
+        src_feats = jnp.concatenate(
+            [src_feats, jnp.zeros((vs, cin_p - cin), src_feats.dtype)],
+            axis=1)
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((k, cin_p - cin, cout), weights.dtype)],
+            axis=1)
+    if cout_p != cout:
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((k, cin_p, cout_p - cout), weights.dtype)],
+            axis=2)
+
     feats_t = src_feats.T.astype(compute_dtype)
-    w_flat = jnp.transpose(weights, (2, 0, 1)).reshape(cout, k * cin)
+    w_flat = jnp.transpose(weights, (2, 0, 1)).reshape(cout_p, k * cin_p)
     w_flat = w_flat.astype(compute_dtype)
     out = _fused_call(src_ids[None, :], feats_t, tgt_ids.reshape(nb, block),
                       lo, deltas, w_flat, block, window)
-    return out.astype(src_feats.dtype), overflow
+    return out[:, :cout].astype(src_feats.dtype), overflow
