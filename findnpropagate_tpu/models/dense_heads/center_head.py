@@ -8,9 +8,10 @@ masked L1 regression normalized by positives; top-K heatmap decode with
 score/range filtering and class-agnostic rotated NMS.
 
 TPU redesign: the per-object python drawing/assign loop becomes the
-vectorized draw_heatmap + fixed-slot target arrays; single head group (the
-reference's CLASS_NAMES_EACH_HEAD grouping collapses to one group covering
-all classes, which is the configuration the OV pipeline uses).
+vectorized draw_heatmap + fixed-slot target arrays. CLASS_NAMES_EACH_HEAD
+grouping is supported: one SeparateHead per group, per-group heatmap targets
+with within-group class ids, per-group decode merged (with global labels)
+before the shared NMS — matching center_head.py:59-118,407-476.
 """
 
 from __future__ import annotations
@@ -47,15 +48,20 @@ class CenterHead(nn.Module):
             use_bias=bool(cfg.get("USE_BIAS_BEFORE_NORM", False)),
         )
         self.shared_bn = nn.BatchNorm(epsilon=1e-3, momentum=0.99)
-        heads = dict(cfg["SEPARATE_HEAD_CFG"]["HEAD_DICT"])
-        heads["hm"] = {
-            "out_channels": self.num_class,
-            "num_conv": int(cfg.get("NUM_HM_CONV", 2)),
-        }
-        self.heads = SeparateHead(
-            head_dict=heads, head_channels=shared_ch,
-            use_bias=bool(cfg.get("USE_BIAS_BEFORE_NORM", False)),
-        )
+        groups = cfg.get("CLASS_NAMES_EACH_HEAD") or [list(self.class_names)]
+        head_mods = []
+        for gi, group in enumerate(groups):
+            heads = dict(cfg["SEPARATE_HEAD_CFG"]["HEAD_DICT"])
+            heads["hm"] = {
+                "out_channels": len(group),
+                "num_conv": int(cfg.get("NUM_HM_CONV", 2)),
+            }
+            head_mods.append(SeparateHead(
+                head_dict=heads, head_channels=shared_ch,
+                use_bias=bool(cfg.get("USE_BIAS_BEFORE_NORM", False)),
+                name=f"group{gi}",
+            ))
+        self.head_groups = head_mods
 
     def __call__(self, batch, train: bool):
         x = batch["spatial_features_2d"]
@@ -64,9 +70,12 @@ class CenterHead(nn.Module):
         x = nn.relu(x)
         # SeparateHead operates on (B, N, C); flatten spatial dims
         b, h, w, c = x.shape
-        preds = self.heads(x.reshape(b, h * w, c), train)
-        preds = {k: v.reshape(b, h, w, -1) for k, v in preds.items()}
-        batch["center_preds"] = preds
+        xf = x.reshape(b, h * w, c)
+        out = []
+        for mod in self.head_groups:
+            preds = mod(xf, train)
+            out.append({k: v.reshape(b, h, w, -1) for k, v in preds.items()})
+        batch["center_preds"] = tuple(out)
         return batch
 
 
@@ -78,6 +87,13 @@ class CenterHeadTools:
     point_cloud_range: tuple
     voxel_size: tuple
     class_names: tuple = ()
+    groups: tuple = ()   # per-group GLOBAL 1-indexed label tuples
+
+    @property
+    def group_labels(self):
+        if self.groups:
+            return self.groups
+        return (tuple(range(1, self.num_classes + 1)),)
 
     @property
     def stride(self):
@@ -99,9 +115,11 @@ class CenterHeadTools:
         h = int(self.grid_size[1]) // self.stride
         return h, w
 
-    def _assign_single(self, gt_boxes, gt_labels, gt_valid):
-        """(M, 7+), labels 0-idx -> heatmap (C, H, W), target boxes (M, code),
-        inds (M,), mask (M,). (center_head.py:152-209)"""
+    def _assign_single(self, gt_boxes, gt_labels, gt_valid,
+                       num_classes=None):
+        """(M, 7+), labels 0-idx (LOCAL to the group) -> heatmap (C, H, W),
+        target boxes (M, code), inds (M,), mask (M,).
+        (center_head.py:152-209)"""
         cfg = self.model_cfg["TARGET_ASSIGNER_CONFIG"]
         h, w = self._fm_size()
         vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
@@ -124,7 +142,7 @@ class CenterHeadTools:
 
         heatmap = draw_heatmap(
             jnp.stack([cx, cy], -1), radius, gt_labels, valid,
-            num_classes=self.num_classes, height=h, width=w,
+            num_classes=num_classes or self.num_classes, height=h, width=w,
         )
         extras = gt_boxes.shape[-1] - 7
         parts = [
@@ -142,43 +160,67 @@ class CenterHeadTools:
         return heatmap, jnp.where(valid[:, None], target_boxes, 0.0), \
             jnp.where(valid, inds, 0), valid
 
-    def assign(self, gt_boxes_with_cls):
+    def assign(self, gt_boxes_with_cls, group=None):
         gt = gt_boxes_with_cls[..., :-1]
-        labels = jnp.clip(gt_boxes_with_cls[..., -1].astype(jnp.int32) - 1, 0)
-        valid = gt_boxes_with_cls[..., -1] > 0
-        return jax.vmap(self._assign_single)(gt, labels, valid)
+        glabels = gt_boxes_with_cls[..., -1].astype(jnp.int32)
+        valid = glabels > 0
+        if group is None:
+            labels = jnp.clip(glabels - 1, 0)
+            nc = self.num_classes
+        else:
+            # relabel global -> within-group local ids; drop other classes
+            lut = np.full(self.num_classes + 1, -1, np.int32)
+            for li, gl in enumerate(group):
+                lut[gl] = li
+            local = jnp.asarray(lut)[jnp.clip(glabels, 0,
+                                              self.num_classes)]
+            valid = valid & (local >= 0)
+            labels = jnp.clip(local, 0)
+            nc = len(group)
+        return jax.vmap(
+            lambda g, l, v: self._assign_single(g, l, v, num_classes=nc)
+        )(gt, labels, valid)
 
     def compute_loss(self, out_batch):
-        preds = out_batch["center_preds"]
+        preds_all = out_batch["center_preds"]
+        if isinstance(preds_all, dict):
+            preds_all = (preds_all,)
         lw = self.model_cfg["LOSS_CONFIG"]["LOSS_WEIGHTS"]
-        heatmaps, target_boxes, inds, masks = self.assign(out_batch["gt_boxes"])
-
-        hm_pred = jnp.clip(
-            jax.nn.sigmoid(jnp.transpose(preds["hm"], (0, 3, 1, 2))),
-            1e-4, 1 - 1e-4,
-        )
-        hm_loss = L.focal_loss_centernet(hm_pred, heatmaps) * float(lw["cls_weight"])
-
-        b, h, w, _ = preds["hm"].shape
-        reg = jnp.concatenate(
-            [preds[k] for k in self.head_order], axis=-1
-        ).reshape(b, h * w, -1)  # (B, HW, code)
-        gathered = jnp.take_along_axis(
-            reg, inds[..., None].astype(jnp.int32), axis=1
-        )  # (B, M, code)
-        per_dim = L.reg_loss_centernet(
-            gathered, target_boxes[..., : gathered.shape[-1]], masks
-        )
         code_w = jnp.asarray(lw["code_weights"], jnp.float32)
-        loc_loss = jnp.sum(per_dim * code_w) * float(lw["loc_weight"])
+        glabels = self.group_labels
+        hm_total = 0.0
+        loc_total = 0.0
+        for preds, group in zip(preds_all, glabels):
+            group_arg = None if len(glabels) == 1 else group
+            heatmaps, target_boxes, inds, masks = self.assign(
+                out_batch["gt_boxes"], group=group_arg)
+            hm_pred = jnp.clip(
+                jax.nn.sigmoid(jnp.transpose(preds["hm"], (0, 3, 1, 2))),
+                1e-4, 1 - 1e-4,
+            )
+            hm_total += L.focal_loss_centernet(hm_pred, heatmaps)                 * float(lw["cls_weight"])
+            b, h, w, _ = preds["hm"].shape
+            reg = jnp.concatenate(
+                [preds[k] for k in self.head_order], axis=-1
+            ).reshape(b, h * w, -1)  # (B, HW, code)
+            gathered = jnp.take_along_axis(
+                reg, inds[..., None].astype(jnp.int32), axis=1
+            )  # (B, M, code)
+            per_dim = L.reg_loss_centernet(
+                gathered, target_boxes[..., : gathered.shape[-1]], masks
+            )
+            loc_total += jnp.sum(per_dim * code_w) * float(lw["loc_weight"])
 
-        total = hm_loss + loc_loss
-        return total, {"hm_loss": hm_loss, "loc_loss": loc_loss,
+        total = hm_total + loc_total
+        return total, {"hm_loss": hm_total, "loc_loss": loc_total,
                        "rpn_loss": total}
 
     def get_bboxes(self, out_batch, max_obj: int = 500):
-        """Decode (decode_bbox_from_heatmap + class-agnostic NMS)."""
-        preds = out_batch["center_preds"]
+        """Decode (decode_bbox_from_heatmap + class-agnostic NMS); groups
+        decode independently and merge with global labels."""
+        preds_all = out_batch["center_preds"]
+        if isinstance(preds_all, dict):
+            preds_all = (preds_all,)
         pp = self.model_cfg["POST_PROCESSING"]
         k = int(pp.get("MAX_OBJ_PER_SAMPLE", max_obj))
         score_thresh = float(pp.get("SCORE_THRESH", 0.1))
@@ -214,15 +256,27 @@ class CenterHeadTools:
             )
             return boxes, jnp.where(ok, scores, 0.0), cls_ids + 1, ok
 
-        vel = preds.get("vel")
-        boxes, scores, labels, ok = jax.vmap(one)(
-            preds["hm"], preds["center"], preds["center_z"], preds["dim"],
-            preds["rot"],
-            vel if vel is not None else None,
-        ) if vel is not None else jax.vmap(
-            lambda hm, c, cz, d, r: one(hm, c, cz, d, r, None)
-        )(preds["hm"], preds["center"], preds["center_z"], preds["dim"],
-          preds["rot"])
+        parts_b, parts_s, parts_l, parts_ok = [], [], [], []
+        for preds, group in zip(preds_all, self.group_labels):
+            vel = preds.get("vel")
+            boxes, scores, labels, ok = jax.vmap(one)(
+                preds["hm"], preds["center"], preds["center_z"],
+                preds["dim"], preds["rot"], vel,
+            ) if vel is not None else jax.vmap(
+                lambda hm, c, cz, d, r: one(hm, c, cz, d, r, None)
+            )(preds["hm"], preds["center"], preds["center_z"],
+              preds["dim"], preds["rot"])
+            # local (1-indexed within group) -> global labels
+            lut = jnp.asarray((0,) + tuple(group), jnp.int32)
+            labels = lut[jnp.clip(labels, 0, len(group))]
+            parts_b.append(boxes)
+            parts_s.append(scores)
+            parts_l.append(labels)
+            parts_ok.append(ok)
+        boxes = jnp.concatenate(parts_b, axis=1)
+        scores = jnp.concatenate(parts_s, axis=1)
+        labels = jnp.concatenate(parts_l, axis=1)
+        ok = jnp.concatenate(parts_ok, axis=1)
 
         nms_cfg = pp.get("NMS_CONFIG", {})
         from ...ops.nms import nms_bev
@@ -246,6 +300,13 @@ class CenterHeadTools:
 
 def make_center_head_tools(model_cfg, num_class, grid_size, point_cloud_range,
                            voxel_size, class_names=()):
+    groups_cfg = model_cfg.get("CLASS_NAMES_EACH_HEAD")
+    groups = ()
+    if groups_cfg:
+        names = list(class_names)
+        groups = tuple(
+            tuple(names.index(n) + 1 for n in group) for group in groups_cfg
+        )
     return CenterHeadTools(
         model_cfg=model_cfg,
         num_classes=num_class,
@@ -253,4 +314,5 @@ def make_center_head_tools(model_cfg, num_class, grid_size, point_cloud_range,
         point_cloud_range=tuple(float(v) for v in point_cloud_range),
         voxel_size=tuple(float(v) for v in voxel_size),
         class_names=tuple(class_names),
+        groups=groups,
     )

@@ -105,7 +105,7 @@ def test_targets(setup):
 def test_forward_and_decode(setup):
     ds, det, batch, variables = setup
     out = det.apply(variables, batch, train=False)
-    assert out["center_preds"]["hm"].shape == (2, 64, 64, 2)
+    assert out["center_preds"][0]["hm"].shape == (2, 64, 64, 2)
     dets = det.post_process(out)
     assert dets.boxes.shape[0] == 2
 
