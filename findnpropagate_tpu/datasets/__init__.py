@@ -9,6 +9,9 @@ batches — no torch DataLoader.
 
 from __future__ import annotations
 
+import queue
+import threading
+
 import numpy as np
 
 from .dataset import DatasetTemplate
@@ -68,9 +71,55 @@ class DataLoader:
             yield self.dataset.collate_batch(samples)
 
 
+class PrefetchLoader:
+    """Background-thread prefetcher wrapping a DataLoader so host-side
+    augmentation/collation overlaps device compute (the reference gets this
+    from torch DataLoader workers; here a single daemon thread fills a
+    bounded queue — the jitted train step dispatches asynchronously, so one
+    producer thread keeps the chip fed)."""
+
+    def __init__(self, loader: "DataLoader", prefetch: int = 2):
+        self.loader = loader
+        self.prefetch = int(prefetch)
+
+    def set_epoch(self, epoch):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    @property
+    def dataset(self):
+        return self.loader.dataset
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def worker():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            except BaseException as e:  # surface worker errors to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
 def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
                      training=True, seed=0, logger=None, shard_id=0,
-                     num_shards=1, **kwargs):
+                     num_shards=1, prefetch=2, **kwargs):
     dataset_cls = DATASET_REGISTRY[dataset_cfg["DATASET"]]
     dataset = dataset_cls(
         dataset_cfg=dataset_cfg,
@@ -82,4 +131,6 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
         dataset, batch_size, shuffle=training, seed=seed,
         shard_id=shard_id, num_shards=num_shards, drop_last=training,
     )
+    if prefetch and prefetch > 0:
+        loader = PrefetchLoader(loader, prefetch=prefetch)
     return dataset, loader, None

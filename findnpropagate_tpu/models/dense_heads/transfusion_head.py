@@ -479,6 +479,20 @@ class TransFusionTools:
             ) / jnp.clip(jnp.sum(matched), 1),
             "loss_trans": total,
         }
+        # per-class diagnostics (reference transfusion_head.py:506-543):
+        # matched count, mean matched IoU, mean TP confidence per class
+        if self.class_names:
+            probs = jax.nn.sigmoid(cls_score)       # (BP, C)
+            ious_flat = targets["ious"].reshape(-1)
+            for ci, name in enumerate(self.class_names):
+                cm = matched & (labels == ci)
+                n = jnp.sum(cm)
+                nc = jnp.clip(n, 1)
+                tb[f"{name}_matches"] = n
+                tb[f"{name}_iou_mean"] = jnp.sum(
+                    jnp.where(cm, ious_flat, 0.0)) / nc
+                tb[f"{name}_tp_pred_conf_mean"] = jnp.sum(
+                    jnp.where(cm, probs[:, ci], 0.0)) / nc
         return total, tb
 
     def get_bboxes(self, res, max_det: int = 200, relabel_map=None,

@@ -62,14 +62,18 @@ def post_process(batch_cls_preds, batch_box_preds, nms_thresh,
     return Detections(boxes, scores_o, labels_o, count)
 
 
-@functools.partial(jax.jit, static_argnames=("thresh_list",))
+@functools.partial(jax.jit,
+                   static_argnames=("thresh_list", "known_labels"))
 def recall_record(det_boxes, det_mask, gt_boxes, thresh_list=(0.3, 0.5, 0.7),
-                  rois=None):
-    """Per-batch recall counts (detector3d_template.generate_recall_record).
+                  rois=None, known_labels=None):
+    """Per-batch recall counts (detector3d_template.generate_recall_record,
+    incl. the OV known/unknown buckets at :314-399 when `known_labels` — a
+    tuple of 1-indexed known class labels — is given).
 
     det_boxes: (D, 7+) final detections for one sample; det_mask: (D,);
-    gt_boxes: (M, 8) padded with zero rows.
-    Returns dict {'gt': num_gt, f'recall_{t}': matched count}.
+    gt_boxes: (M, 8) padded with zero rows (last col = 1-indexed label).
+    Returns dict {'gt': num_gt, f'recall_{t}': matched count, and when
+    known_labels: num_known/num_unknown + recall_{known,unknown}_{t}}.
     """
     gt_valid = gt_boxes[:, 7] > 0 if gt_boxes.shape[-1] > 7 else (
         jnp.sum(jnp.abs(gt_boxes), axis=-1) > 0
@@ -82,6 +86,19 @@ def recall_record(det_boxes, det_mask, gt_boxes, thresh_list=(0.3, 0.5, 0.7),
     best = jnp.where(gt_valid, best, 0.0)
     for t in thresh_list:
         out[f"recall_{t}"] = jnp.sum(best > t)
+    if known_labels is not None and gt_boxes.shape[-1] > 7:
+        labels = gt_boxes[:, 7].astype(jnp.int32)
+        known = jnp.zeros_like(gt_valid)
+        for l in known_labels:
+            known = known | (labels == int(l))
+        known = known & gt_valid
+        unknown = gt_valid & ~known
+        out["num_known"] = jnp.sum(known)
+        out["num_unknown"] = jnp.sum(unknown)
+        for t in thresh_list:
+            out[f"recall_known_{t}"] = jnp.sum(jnp.where(known, best, 0.0) > t)
+            out[f"recall_unknown_{t}"] = jnp.sum(
+                jnp.where(unknown, best, 0.0) > t)
     return out
 
 

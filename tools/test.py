@@ -38,6 +38,11 @@ def parse_config():
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--infer_time", action="store_true")
     parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument("--watch", action="store_true",
+                        help="repeat_eval_ckpt: poll the ckpt dir and "
+                             "evaluate every new checkpoint")
+    parser.add_argument("--max_waiting_mins", type=float, default=30.0)
+    parser.add_argument("--wait_interval", type=float, default=30.0)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -48,9 +53,16 @@ def parse_config():
 
 def eval_ckpt(detector, loader, dataset, variables, logger, class_names,
               infer_time=False, max_batches=None, known_classes=None):
+    from findnpropagate_tpu.models.post_processing import recall_record
+
     eval_step = make_eval_step(detector)
+    known_labels = tuple(
+        class_names.index(n) + 1 for n in (known_classes or ())
+        if n in class_names
+    ) or None
     det_annos = []
     times = []
+    recall_acc = {}
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
@@ -64,6 +76,17 @@ def eval_ckpt(detector, loader, dataset, variables, logger, class_names,
         scores = np.asarray(dets.scores)
         labels = np.asarray(dets.labels)
         counts = np.asarray(dets.count)
+        if "gt_boxes" in batch:
+            # live recall telemetry with known/unknown buckets
+            # (detector3d_template.py:314-399)
+            for i in range(boxes.shape[0]):
+                slot = np.arange(boxes.shape[1]) < counts[i]
+                rec = recall_record(
+                    dets.boxes[i], jax.numpy.asarray(slot),
+                    batch["gt_boxes"][i], known_labels=known_labels,
+                )
+                for k, v in rec.items():
+                    recall_acc[k] = recall_acc.get(k, 0) + int(v)
         for i in range(boxes.shape[0]):
             n = int(counts[i])
             det_annos.append(
@@ -79,8 +102,70 @@ def eval_ckpt(detector, loader, dataset, variables, logger, class_names,
     result_str, result_dict = dataset.evaluation(
         det_annos, class_names, known_classes=known_classes
     )
+    if recall_acc:
+        gt = max(recall_acc.get("gt", 0), 1)
+        nk = max(recall_acc.get("num_known", 0), 1)
+        nu = max(recall_acc.get("num_unknown", 0), 1)
+        for k, v in sorted(recall_acc.items()):
+            if k.startswith("recall_known"):
+                result_dict[k] = v / nk
+            elif k.startswith("recall_unknown"):
+                result_dict[k] = v / nu
+            elif k.startswith("recall"):
+                result_dict[k] = v / gt
+        logger.info("recall telemetry: " + " ".join(
+            f"{k}={v}" for k, v in sorted(recall_acc.items())))
     logger.info("\n" + result_str)
     return det_annos, result_dict
+
+
+def repeat_eval_ckpt(detector, loader, dataset, state, logger, class_names,
+                     ckpt_dir, eval_dir, known_classes=None,
+                     max_batches=None, max_waiting_mins=30.0,
+                     wait_interval=30.0):
+    """Watch-folder eval loop (reference tools/test.py:90-137
+    repeat_eval_ckpt + get_no_evaluated_ckpt): evaluates every new
+    checkpoint_<step> under ckpt_dir, records evaluated steps in
+    eval_list.txt, gives up after max_waiting_mins without new ones."""
+    record = Path(eval_dir) / "eval_list.txt"
+    evaluated = set()
+    if record.exists():
+        evaluated = {l.strip() for l in record.read_text().splitlines()
+                     if l.strip()}
+    waited = 0.0
+    results = {}
+    while True:
+        ckpts = sorted(
+            Path(ckpt_dir).glob("checkpoint_*"),
+            key=lambda p: int(p.name.split("_")[-1]),
+        )
+        todo = [p for p in ckpts if p.name not in evaluated]
+        if not todo:
+            if waited >= max_waiting_mins * 60:
+                logger.info("repeat_eval: max wait reached, exiting")
+                return results
+            time.sleep(wait_interval)
+            waited += wait_interval
+            continue
+        waited = 0.0
+        for p in todo:
+            try:
+                st = restore_checkpoint(p, state)
+            except Exception as e:  # partial/corrupt ckpt: retry later
+                logger.warning(f"repeat_eval: cannot load {p}: {e}")
+                continue
+            variables = {"params": st.params, "batch_stats": st.batch_stats}
+            logger.info(f"repeat_eval: evaluating {p.name}")
+            _, result = eval_ckpt(
+                detector, loader, dataset, variables, logger, class_names,
+                max_batches=max_batches, known_classes=known_classes,
+            )
+            results[p.name] = result
+            evaluated.add(p.name)
+            with open(record, "a") as f:
+                f.write(p.name + "\n")
+            with open(Path(eval_dir) / f"result_{p.name}.json", "w") as f:
+                json.dump(result, f, indent=2)
 
 
 def main():
@@ -111,6 +196,15 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     known = cfg.get("KNOWN_CLASS_NAMES")
+    if args.watch:
+        repeat_eval_ckpt(
+            detector, loader, dataset, state, logger, cfg.CLASS_NAMES,
+            ckpt_dir=output_dir / "ckpt", eval_dir=eval_dir,
+            known_classes=known, max_batches=args.max_batches,
+            max_waiting_mins=args.max_waiting_mins,
+            wait_interval=args.wait_interval,
+        )
+        return
     _, result = eval_ckpt(
         detector, loader, dataset, variables, logger, cfg.CLASS_NAMES,
         infer_time=args.infer_time, max_batches=args.max_batches,

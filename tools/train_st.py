@@ -85,7 +85,9 @@ def main():
     inf_dataset.data_augmentor = None
     inf_dataset.training = False
     inf_dataset.data_processor.training = False
-    inf_loader.shuffle = False
+    # unwrap the prefetcher to reach the shuffling inner loader
+    (inf_loader.loader if hasattr(inf_loader, "loader")
+     else inf_loader).shuffle = False
 
     detector = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                              dataset=dataset)
