@@ -1,0 +1,242 @@
+"""Seeker parity harness: an INDEPENDENT loop-based numpy oracle that
+hand-executes the reference's Greedy Box Seeker + Oracle math step by step
+(frustum_proposals_v1.py:560-1045 under /root/reference — quantile depths,
+frustum lift, anchor/mag placement, softmin front-centering, back-projected
+IoU with image clamping, distance ranking, density counts, additive blend,
+axis-aligned NMS, topk) and requires the repo's single vmapped program to
+select the SAME proposals (label-level bit parity) with coords to 1e-3."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from findnpropagate_tpu.openvocab.frustum_proposer import (
+    NUSCENES_ANCHORS,
+    FrustumProposerOG,
+)
+from test_frustum_proposer import CLASS_NAMES, make_camera
+
+
+# ------------------------------------------------------------ numpy oracle
+
+def corners_np(boxes):
+    """(N, 7) -> (N, 8, 3), same template as utils.geometry."""
+    t = np.array([
+        [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+        [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+    ], np.float64) / 2
+    c = t[None] * boxes[:, None, 3:6]
+    cos, sin = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
+    x = c[..., 0] * cos[:, None] - c[..., 1] * sin[:, None]
+    y = c[..., 0] * sin[:, None] + c[..., 1] * cos[:, None]
+    out = np.stack([x, y, c[..., 2]], -1)
+    return out + boxes[:, None, :3]
+
+
+def aa_nms_np(boxes, scores, thresh):
+    """Axis-aligned BEV NMS (nms_normal_gpu order semantics)."""
+    x1 = boxes[:, 0] - boxes[:, 3] / 2
+    x2 = boxes[:, 0] + boxes[:, 3] / 2
+    y1 = boxes[:, 1] - boxes[:, 4] / 2
+    y2 = boxes[:, 1] + boxes[:, 4] / 2
+    order = np.argsort(-scores)
+    keep = []
+    sup = np.zeros(len(scores), bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1)
+        yy1 = np.maximum(y1[i], y1)
+        xx2 = np.minimum(x2[i], x2)
+        yy2 = np.minimum(y2[i], y2)
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        a_i = (x2[i] - x1[i]) * (y2[i] - y1[i])
+        a = (x2 - x1) * (y2 - y1)
+        iou = inter / np.maximum(a_i + a - inter, 1e-9)
+        sup |= iou > thresh
+    return keep
+
+
+def seeker_oracle(cfg: FrustumProposerOG, points, det_box, det_label,
+                  l2i, c2l, intr):
+    """One detection, one camera. Returns (box (7,), oracle score) or None.
+    Mirrors the reference control flow with python loops."""
+    h_img, w_img = cfg.image_size
+    # project points
+    hom = points @ l2i[:3, :3].T + l2i[:3, 3]
+    depth = hom[:, 2]
+    u = hom[:, 0] / depth
+    v = hom[:, 1] / depth
+    on_img = (depth > 1e-5) & (u >= 0) & (u < w_img) & (v >= 0) & (v < h_img)
+    x1, y1, x2, y2 = det_box
+    on_box = on_img & (v < y2) & (v >= y1) & (u < x2) & (u >= x1)
+    if on_box.sum() == 0:
+        return None
+    d = depth[on_box]
+    fmin = max(np.quantile(d, cfg.lq), cfg.frustum_min)
+    fmax = min(np.quantile(d, cfg.uq), cfg.max_dist)
+    cz = np.quantile(d, cfg.cq)
+
+    def lift(img_pts):
+        """(N, 3) [u, v, d] -> lidar frame (get_geometry_at_image_coords)."""
+        p = img_pts.copy().astype(np.float64)
+        p[:, :2] *= p[:, 2:3]
+        inv = np.linalg.inv(intr[:3, :3])
+        cam = p @ inv.T
+        return cam @ c2l[:3, :3].T + c2l[:3, 3]
+
+    centre_xyz = lift(np.array([[(x1 + x2) / 2, (y1 + y2) / 2, cz]]))[0]
+
+    # frustum corners in the reference's template order
+    # (frustum_proposals_v1.py:128-140: corners 0-3 near plane, 4-7 far)
+    corners_img = np.array([
+        [x2, y2, fmin], [x2, y1, fmin], [x1, y1, fmin], [x1, y2, fmin],
+        [x2, y2, fmax], [x2, y1, fmax], [x1, y1, fmax], [x1, y2, fmax],
+    ])
+    frust = lift(corners_img)
+    bev = np.stack([(frust[2 * i] + frust[2 * i + 1]) / 2 for i in range(4)])
+    close = bev[:2].mean(axis=0)   # near-plane centre
+    far = bev[2:].mean(axis=0)     # far-plane centre
+    mags = np.linspace(0.0, 1.0, cfg.num_mags)
+    centers = close[None] + (far - close)[None] * mags[:, None]
+
+    anchors = np.asarray(cfg.anchors)[det_label - 1]
+    sizes = np.linspace(cfg.size_min, cfg.size_max, cfg.num_sizes)
+    rots = np.linspace(cfg.ry_min, cfg.ry_max, cfg.num_rotations)
+    props = []
+    for m in centers:
+        for r in rots:
+            for s in sizes:
+                props.append([m[0], m[1], m[2], anchors[0] * s,
+                              anchors[1] * s, anchors[2] * s, r])
+    props = np.asarray(props)
+    cor = corners_np(props)
+
+    # softmin front-centering (softmax of -corner distance)
+    dists = np.linalg.norm(cor, axis=2)
+    z = -dists - (-dists).max(axis=1, keepdims=True)
+    rank = np.exp(z)
+    rank = rank / rank.sum(axis=1, keepdims=True)
+    wfc = (rank[..., None] * cor).sum(axis=1)
+    shift = props[:, :3] - wfc
+    props[:, :3] += shift
+    cor = cor + shift[:, None]
+
+    valid = np.linalg.norm(wfc, axis=-1) < cfg.max_dist
+
+    # back-projected IoU
+    hom = cor.reshape(-1, 3) @ l2i[:3, :3].T + l2i[:3, 3]
+    uu = (hom[:, 0] / hom[:, 2]).reshape(-1, 8)
+    vv = (hom[:, 1] / hom[:, 2]).reshape(-1, 8)
+    uu = np.clip(uu, 0, w_img)
+    vv = np.clip(vv, 0, h_img)
+    px1, py1 = uu.min(axis=1), vv.min(axis=1)
+    px2, py2 = uu.max(axis=1), vv.max(axis=1)
+    ix1 = np.maximum(px1, x1)
+    iy1 = np.maximum(py1, y1)
+    ix2 = np.minimum(px2, x2)
+    iy2 = np.minimum(py2, y2)
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    union = (px2 - px1) * (py2 - py1) + (x2 - x1) * (y2 - y1) - inter
+    ious = inter / np.maximum(union, 1e-9)
+
+    dd = np.linalg.norm(wfc - centre_xyz[None], axis=-1)
+    sel = valid
+    dmin, dmax = dd[sel].min(), dd[sel].max()
+    dranked = 1 - (dd - dmin) / (dmax - dmin + 1e-8)
+
+    valid = valid & (ious > cfg.min_cam_iou)
+    if valid.sum() == 0:
+        return None
+
+    # density over the 2D-box points
+    pts_box = points[on_box]
+    counts = np.zeros(len(props))
+    for i in np.where(valid)[0]:
+        c_, s_ = np.cos(-props[i, 6]), np.sin(-props[i, 6])
+        sh = pts_box - props[i, :3]
+        lx = sh[:, 0] * c_ - sh[:, 1] * s_
+        ly = sh[:, 0] * s_ + sh[:, 1] * c_
+        inside = (np.abs(lx) <= props[i, 3] / 2) \
+            & (np.abs(ly) <= props[i, 4] / 2) \
+            & (np.abs(sh[:, 2]) <= props[i, 5] / 2)
+        counts[i] = inside.sum()
+    dens = counts / (counts[valid].max() + 1e-8)
+
+    score = dens * cfg.dns_w + ious * cfg.iou_w + dranked * cfg.dst_w
+    score = np.where(valid, score, -1e9)
+
+    keep = aa_nms_np(props, score, cfg.nms_normal)
+    keep = [k for k in keep if valid[k]]
+    if not keep:
+        return None
+    best = keep[0]
+    return props[best], score[best]
+
+
+# --------------------------------------------------------------- the test
+
+def test_seeker_matches_loop_oracle():
+    l2i, c2l, intr = make_camera()
+    rng = np.random.RandomState(7)
+    cfg = FrustumProposerOG(class_names=CLASS_NAMES)
+
+    # two objects in view: a car and a pedestrian
+    objs = [
+        (np.array([14.0, 2.0, -0.8, 4.63, 1.97, 1.74, 0.3]), 1),
+        (np.array([9.0, -2.5, -0.6, 0.73, 0.67, 1.77, 0.0]), 9),
+    ]
+    pts = [rng.uniform(-30, 30, (600, 3)) * np.array([1, 0.3, 0.05])]
+    for box, _ in objs:
+        local = rng.uniform(-0.5, 0.5, (300, 3)) * box[3:6]
+        c, s = np.cos(box[6]), np.sin(box[6])
+        rot = np.stack([local[:, 0] * c - local[:, 1] * s,
+                        local[:, 0] * s + local[:, 1] * c,
+                        local[:, 2]], -1)
+        pts.append(rot + box[:3])
+    points = np.concatenate(pts).astype(np.float64)
+
+    # 2D detections = projected gt corners
+    dets = []
+    for box, label in objs:
+        cor = corners_np(box[None])[0]
+        hom = cor @ l2i[:3, :3].T + l2i[:3, 3]
+        u = hom[:, 0] / hom[:, 2]
+        v = hom[:, 1] / hom[:, 2]
+        dets.append((np.array([u.min(), v.min(), u.max(), v.max()]), label))
+
+    # oracle per detection
+    want = [seeker_oracle(cfg, points, db, lb, l2i, c2l, intr)
+            for db, lb in dets]
+
+    # repo seeker (one batch call, padded)
+    d = len(dets)
+    det_boxes = np.stack([db for db, _ in dets]).astype(np.float32)
+    det_labels = np.asarray([lb for _, lb in dets], np.int32)
+    out = cfg.propose(
+        jnp.asarray(points, jnp.float32),
+        jnp.ones(len(points), bool),
+        jnp.asarray(det_boxes),
+        jnp.asarray(det_labels),
+        jnp.ones(d, jnp.float32) * 0.9,
+        jnp.zeros(d, jnp.int32),
+        jnp.ones(d, bool),
+        jnp.asarray(l2i, jnp.float32)[None],
+        jnp.asarray(c2l, jnp.float32)[None],
+        jnp.asarray(intr, jnp.float32)[None],
+    )
+    got_boxes = np.asarray(out.boxes)
+    got_valid = np.asarray(out.valid)
+
+    for i, w in enumerate(want):
+        assert w is not None
+        assert got_valid[i], f"det {i} invalid in repo seeker"
+        wb, ws = w
+        np.testing.assert_allclose(
+            got_boxes[i, :7], wb, atol=2e-3,
+            err_msg=f"det {i}: repo {got_boxes[i, :7]} oracle {wb}")
+        # label-level parity: same anchor size/rotation slot selected
+        np.testing.assert_allclose(got_boxes[i, 3:6], wb[3:6], atol=1e-5)
+        assert abs(float(out.oracle[i]) - ws) < 1e-3
