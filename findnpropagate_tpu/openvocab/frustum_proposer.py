@@ -95,9 +95,14 @@ class FrustumProposerOG:
     topk: int = 1
     nms_2d_thresh: float = 0.7
     nms_normal: float = 0.7
+    # frustum BEV-mask NMS (frustum_proposals_v1.py:332-406): active when
+    # 0 < nms_3d < 1; the reference default 1.0 disables it
+    nms_3d: float = 1.0
+    bev_nms_grid: tuple = (180, 180)
     score_thr: float = 0.1
     frustum_min: float = 2.0
     image_size: tuple = (900, 1600)
+    point_cloud_range: tuple = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
 
     @classmethod
     def from_config(cls, model_cfg, class_names):
@@ -111,6 +116,70 @@ class FrustumProposerOG:
         return cls(class_names=tuple(class_names), **kw)
 
     # ---- static precomputes ----
+
+    def pc_bev_pos(self):
+        """(G, 2) BEV cell coordinates spanning the point cloud range
+        (frustum_proposals_v1.py:300-317)."""
+        gx, gy = self.bev_nms_grid
+        pcr = self.point_cloud_range
+        xs = np.linspace(pcr[0], pcr[3], gx)
+        ys = np.linspace(pcr[1], pcr[4], gy)
+        xx, yy = np.meshgrid(xs, ys, indexing="ij")
+        return np.stack([xx, yy], -1).reshape(-1, 2).astype(np.float32)
+
+    def frustum_bev_masks(self, frust_boxes):
+        """(D, 8, 3) lidar frustum corners -> (D, G) BEV-cell membership
+        (get_frustum_bev_mask:332-375 vectorized over detections)."""
+        bev = jnp.asarray(self.pc_bev_pos())          # (G, 2)
+        bev_mags = jnp.linalg.norm(bev, axis=-1)
+        bev_norm = bev / (bev_mags[:, None] + 1e-9)
+
+        fbev = jnp.stack(
+            [(frust_boxes[:, 2 * i] + frust_boxes[:, 2 * i + 1]) / 2
+             for i in range(4)], axis=1)              # (D, 4, 3)
+        far_c = jnp.mean(fbev[:, 2:, :2], axis=1)     # (D, 2)
+        left = fbev[:, 2, :2]
+        right = fbev[:, 3, :2]
+
+        def norm(v):
+            return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-9)
+
+        left_n, right_n, center_n = norm(left), norm(right), norm(far_c)
+        l2b = norm(bev_norm[None] - left_n[:, None])   # (D, G, 2)
+        r2b = norm(bev_norm[None] - right_n[:, None])
+        cos_lr = jnp.sum(l2b * r2b, axis=-1)
+        cos_c = jnp.sum(center_n[:, None] * bev_norm[None], axis=-1)
+        mags = jnp.linalg.norm(fbev, axis=-1)          # (D, 4)
+        mmin = jnp.min(mags, axis=1)
+        mmax = jnp.max(mags, axis=1)
+        return ((cos_lr < 0) & (cos_c > 0)
+                & (bev_mags[None] >= mmin[:, None])
+                & (bev_mags[None] < mmax[:, None]))
+
+    def frustum_bev_nms(self, masks, scores, labels, valid):
+        """Greedy mask-IoU NMS within class (frustum_bev_nms:376-406).
+        Returns (D,) keep mask."""
+        d = masks.shape[0]
+        m = masks.astype(jnp.float32)
+        inter = m @ m.T
+        area = jnp.sum(m, axis=1)
+        union = area[:, None] + area[None, :] - inter
+        iou = inter / (union + 1e-8)
+        same = labels[:, None] == labels[None, :]
+        sup_pair = (iou > self.nms_3d) & same
+        order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+        rank = jnp.zeros((d,), jnp.int32).at[order].set(
+            jnp.arange(d, dtype=jnp.int32))
+
+        def body(i, keep):
+            idx = order[i]
+            alive = keep[idx] & valid[idx]
+            # only lower-scored (later-in-order) frustums are suppressed
+            kill = sup_pair[idx] & (rank > rank[idx])
+            return jnp.where(alive, keep & ~kill, keep)
+
+        keep = jax.lax.fori_loop(0, d, body, jnp.ones((d,), bool))
+        return keep & valid
 
     def base_boxes(self):
         """(num_class, R*S, 7) proposal templates (zero-centered)."""
@@ -330,12 +399,18 @@ class FrustumProposerOG:
             )
             sel = jnp.clip(idx, 0)
             ok = kept & (idx >= 0) & (n_box_pts > 0)
-            return boxes3d[sel], oracle[sel], ok
+            return boxes3d[sel], oracle[sel], ok, frust_box
 
-        boxes_o, oracle_o, valid_o = jax.vmap(per_det)(
+        boxes_o, oracle_o, valid_o, frust_o = jax.vmap(per_det)(
             det_boxes, det_labels, det_scores,
             jnp.clip(det_cams, 0), keep,
-        )  # (D, K, 7), (D, K), (D, K)
+        )  # (D, K, 7), (D, K), (D, K), (D, 8, 3)
+
+        if 0.0 < self.nms_3d < 1.0:
+            masks = self.frustum_bev_masks(frust_o)
+            fk = self.frustum_bev_nms(
+                masks, det_scores, det_labels, jnp.any(valid_o, axis=1))
+            valid_o = valid_o & fk[:, None]
         k = self.topk
         d = det_scores.shape[0]
         return SeekerOutput(

@@ -240,3 +240,43 @@ def test_seeker_matches_loop_oracle():
         # label-level parity: same anchor size/rotation slot selected
         np.testing.assert_allclose(got_boxes[i, 3:6], wb[3:6], atol=1e-5)
         assert abs(float(out.oracle[i]) - ws) < 1e-3
+
+
+def test_frustum_bev_nms_suppresses_overlapping_frustums():
+    """Two near-identical detections of the same class -> one suppressed;
+    different class -> both kept (frustum_bev_nms:376-406 semantics)."""
+    import dataclasses
+
+    l2i, c2l, intr = make_camera()
+    cfg = dataclasses.replace(
+        FrustumProposerOG(class_names=CLASS_NAMES), nms_3d=0.5,
+        point_cloud_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0))
+    rng = np.random.RandomState(3)
+    box = np.array([14.0, 2.0, -0.8, 4.63, 1.97, 1.74, 0.3])
+    local = rng.uniform(-0.5, 0.5, (400, 3)) * box[3:6]
+    c, s = np.cos(box[6]), np.sin(box[6])
+    pts = np.stack([local[:, 0] * c - local[:, 1] * s,
+                    local[:, 0] * s + local[:, 1] * c, local[:, 2]], -1) \
+        + box[:3]
+    cor = corners_np(box[None])[0]
+    hom = cor @ l2i[:3, :3].T + l2i[:3, 3]
+    u, v = hom[:, 0] / hom[:, 2], hom[:, 1] / hom[:, 2]
+    det = np.array([u.min(), v.min(), u.max(), v.max()], np.float32)
+
+    def run(labels):
+        out = cfg.propose(
+            jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool),
+            jnp.asarray(np.stack([det, det + 2.0])),
+            jnp.asarray(labels, jnp.int32),
+            jnp.asarray([0.9, 0.5], jnp.float32),
+            jnp.zeros(2, jnp.int32), jnp.ones(2, bool),
+            jnp.asarray(l2i, jnp.float32)[None],
+            jnp.asarray(c2l, jnp.float32)[None],
+            jnp.asarray(intr, jnp.float32)[None],
+        )
+        return np.asarray(out.valid)
+
+    same = run([1, 1])
+    assert same[0] and not same[1], same  # lower-scored duplicate suppressed
+    diff = run([1, 2])
+    assert diff[0] and diff[1], diff      # different class: kept
