@@ -69,11 +69,19 @@ def build_transfusion_bench(batch_size: int = 1):
     shapes = jax.eval_shape(
         lambda b: det.init(jax.random.PRNGKey(0), b), batch
     )
-    variables = jax.tree.map(
-        lambda s: jnp.ones(s.shape, s.dtype)
-        if s.dtype == jnp.float32 else jnp.zeros(s.shape, s.dtype),
-        shapes,
-    )
+    # random (non-degenerate) weights without paying the full init compile;
+    # values don't affect throughput but must not be foldable/trivial
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+
+    def mat(s):
+        if s.dtype == jnp.float32:
+            return jnp.asarray(
+                rng.standard_normal(s.shape).astype(np.float32) * 0.05)
+        return jnp.zeros(s.shape, s.dtype)
+
+    variables = jax.tree.map(mat, shapes)
     return det, variables, batch
 
 
@@ -92,33 +100,41 @@ def main():
 
     batch = jax.device_put(batch)
 
-    # DATA-DEPENDENT CHAIN: the axon relay memoizes repeated executions, so
-    # naive loops report fantasy numbers (see PERF.md). Each call's input
-    # depends on the previous call's output; one sync at the end.
+    # TRUTH PROTOCOL (PERF.md round-2): the axon relay memoizes repeated
+    # executions BY INPUT VALUE and replays cost ~0.5 s, so a chain that
+    # reaches a fixed point measures replay, not compute. Requirements:
+    #  1. the seed perturbs the points MULTIPLICATIVELY at ~1e-3 (above
+    #     f32 ulp) so every downstream value changes;
+    #  2. an iteration-indexed term keeps the input fresh even if the
+    #     chained value converges;
+    #  3. the returned scalar consumes the FULL graph (features + boxes +
+    #     scores + counts) so XLA cannot dead-code-eliminate stages;
+    #  4. per-iteration sync, median over iterations.
     @jax.jit
     def infer_chain(variables, batch, seed):
         b = dict(batch)
-        b["points"] = b["points"] + seed * 1e-7
+        b["points"] = b["points"] * (1.0 + (seed % 1.0) * 1e-3)
         out = det.apply(variables, b, train=False)
         d = det.post_process(out)
-        return jnp.sum(d.boxes) + jnp.sum(jnp.abs(d.scores))
+        vf = jnp.nan_to_num(
+            jnp.mean(jnp.abs(out["voxel_features"]).astype(jnp.float32)),
+            nan=0.37)
+        bx = jnp.nan_to_num(
+            jnp.sum(jnp.abs(d.boxes)) + jnp.sum(jnp.abs(d.scores))
+            + jnp.sum(d.count).astype(jnp.float32), nan=0.11)
+        return vf % 1.0 + (bx % 7.0) * 1e-6
 
-    s = infer_chain(variables, batch, jnp.float32(0.0))
+    s = infer_chain(variables, batch, jnp.float32(0.12345))
     float(s)  # compile + warm
-    t0 = time.perf_counter()
-    s = infer_chain(variables, batch, jnp.float32(1.0))
-    float(s)
-    t_one = time.perf_counter() - t0
-
-    iters = 11
-    t0 = time.perf_counter()
-    s = jnp.float32(0.0)
-    for _ in range(iters):
-        s = infer_chain(variables, batch, s)
-    float(s)
-    t_full = time.perf_counter() - t0
-    per_scan = (t_full - t_one) / (iters - 1)
-    scans_per_sec = batch_size / per_scan
+    iters = 10
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        s = infer_chain(variables, batch, s + jnp.float32(i) * 0.013)
+        float(s)
+        times.append(time.perf_counter() - t0)
+    per_batch = sorted(times)[len(times) // 2]
+    scans_per_sec = batch_size / per_batch
 
     print(json.dumps({
         "metric": "transfusion_lidar_nuscenes_inference",
