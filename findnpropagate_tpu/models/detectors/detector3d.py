@@ -29,6 +29,7 @@ from ..dense_heads import DENSE_HEAD_REGISTRY
 from ..dense_heads.anchor_head import make_anchor_head_tools
 from ..dense_heads.center_head import make_center_head_tools
 from ..dense_heads.transfusion_head import make_transfusion_tools
+from ..pfe import PFE_REGISTRY
 from ..post_processing import post_process
 from ..roi_heads import ROI_HEAD_REGISTRY
 from ..vfe import VFE_REGISTRY
@@ -74,6 +75,15 @@ class DetectorModule(nn.Module):
                 model_cfg=cfg["MAP_TO_BEV"], grid_size=tuple(self.grid_size)
             )
             modules.append("map_to_bev")
+        if "PFE" in cfg:
+            pfe_cls = PFE_REGISTRY[cfg["PFE"]["NAME"]]
+            self.pfe = pfe_cls(
+                model_cfg=cfg["PFE"],
+                voxel_size=tuple(self.voxel_size),
+                point_cloud_range=tuple(self.point_cloud_range),
+                num_rawpoint_features=min(self.num_point_features, 4),
+            )
+            modules.append("pfe")
         if "BACKBONE_2D" in cfg:
             bb_cls = BACKBONE_2D_REGISTRY[cfg["BACKBONE_2D"]["NAME"]]
             in_ch = (
@@ -97,6 +107,14 @@ class DetectorModule(nn.Module):
                 voxel_size=tuple(self.voxel_size),
             )
             modules.append("dense_head")
+        if "POINT_HEAD" in cfg:
+            from ..dense_heads.point_head_simple import PointHeadSimple
+
+            self.point_head = PointHeadSimple(
+                model_cfg=cfg["POINT_HEAD"],
+                input_channels=0,
+            )
+            modules.append("point_head")
         if "ROI_HEAD" in cfg:
             roi_cls = ROI_HEAD_REGISTRY[cfg["ROI_HEAD"]["NAME"]]
             self.roi_head = roi_cls(
@@ -261,7 +279,14 @@ def build_detector(model_cfg, num_class, dataset):
             relabel_lut=relabel_lut,
         )
     if head_tools is not None and "ROI_HEAD" in model_cfg:
-        from ..roi_heads.second_head import rcnn_iou_loss
+        roi_name = model_cfg["ROI_HEAD"]["NAME"]
+        if roi_name == "SECONDHead":
+            from ..roi_heads.second_head import rcnn_iou_loss as roi_loss_fn
+        else:
+            from ..roi_heads.pvrcnn_head import (
+                pvrcnn_rcnn_loss as roi_loss_fn,
+            )
+        point_cfg = model_cfg.get("POINT_HEAD")
 
         @dataclass
         class TwoStageTools:
@@ -270,10 +295,24 @@ def build_detector(model_cfg, num_class, dataset):
 
             def compute_loss(self, out_batch):
                 loss1, tb = self.stage1.compute_loss(out_batch)
-                loss2, tb2 = rcnn_iou_loss(out_batch, self.roi_loss_cfg)
+                loss2, tb2 = roi_loss_fn(out_batch, self.roi_loss_cfg)
                 tb = dict(tb)
                 tb.update(tb2)
-                return loss1 + loss2, tb
+                total = loss1 + loss2
+                if point_cfg is not None:
+                    from ..dense_heads.point_head_simple import (
+                        point_head_loss,
+                    )
+
+                    lp, tbp = point_head_loss(
+                        out_batch, point_cfg["LOSS_CONFIG"],
+                        extra_width=tuple(
+                            point_cfg.get("TARGET_CONFIG", {}).get(
+                                "GT_EXTRA_WIDTH", (0.2, 0.2, 0.2))),
+                    )
+                    total = total + lp
+                    tb.update(tbp)
+                return total, tb
 
         head_tools = TwoStageTools(head_tools,
                                    model_cfg["ROI_HEAD"]["LOSS_CONFIG"])

@@ -1,1 +1,7 @@
-from .second_head import ROI_HEAD_REGISTRY, SECONDHead  # noqa: F401
+from .pvrcnn_head import PVRCNNHead  # noqa: F401
+from .second_head import SECONDHead  # noqa: F401
+
+ROI_HEAD_REGISTRY = {
+    "SECONDHead": SECONDHead,
+    "PVRCNNHead": PVRCNNHead,
+}
