@@ -16,6 +16,12 @@ import numpy as np
 
 from .dataset import DatasetTemplate
 from .kitti import KittiDataset
+from .misc_datasets import (
+    Argo2Dataset,
+    CustomDataset,
+    LyftDataset,
+    PandasetDataset,
+)
 from .nuscenes import NuScenesDataset
 from .once import ONCEDataset
 from .synthetic import SyntheticDataset
@@ -27,6 +33,10 @@ DATASET_REGISTRY = {
     "NuScenesDataset": NuScenesDataset,
     "WaymoDataset": WaymoDataset,
     "ONCEDataset": ONCEDataset,
+    "LyftDataset": LyftDataset,
+    "CustomDataset": CustomDataset,
+    "Argo2Dataset": Argo2Dataset,
+    "PandasetDataset": PandasetDataset,
 }
 
 
