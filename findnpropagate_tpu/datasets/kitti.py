@@ -51,6 +51,14 @@ class KittiDataset(DatasetTemplate):
         sample_idx = info["point_cloud"]["lidar_idx"]
         points = self.get_lidar(sample_idx)
         data_dict = {"points": points, "frame_id": sample_idx}
+        if "calib" in info:
+            # raw calib matrices for the KITTI open-vocab seeker
+            # (frustum_proposals_v1_kitti.py consumes batch_dict['calib'])
+            data_dict["calib"] = {
+                "P2": np.asarray(info["calib"]["P2"], np.float32),
+                "R0": np.asarray(info["calib"]["R0_rect"], np.float32),
+                "V2C": np.asarray(info["calib"]["Tr_velo_to_cam"], np.float32),
+            }
         if "annos" in info:
             annos = info["annos"]
             mask = annos["name"] != "DontCare"

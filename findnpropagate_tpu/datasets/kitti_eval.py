@@ -50,54 +50,100 @@ def clean_gt(anno, cls_name, difficulty):
     return care, ignored
 
 
-def _ap_r40(scores_tp, num_gt):
-    """scores_tp: list of (score, is_tp); 40-point interpolated AP."""
+def _ap_curve(scores_tp, num_gt, recall_points, use_sim=False):
+    """scores_tp: list of (score, is_tp[, sim]); interpolated AP over the
+    given recall sample points. With use_sim the numerator is the cumulative
+    orientation similarity of TPs (AOS, eval.py:454-467 semantics)."""
     if num_gt == 0 or not scores_tp:
         return 0.0
     arr = np.asarray(scores_tp)
     order = np.argsort(-arr[:, 0])
     tp = arr[order, 1]
+    num = arr[order, 2] * tp if (use_sim and arr.shape[1] > 2) else tp
     cum_tp = np.cumsum(tp)
+    cum_num = np.cumsum(num)
     cum_fp = np.cumsum(1 - tp)
     recall = cum_tp / num_gt
-    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+    precision = cum_num / np.maximum(cum_tp + cum_fp, 1)
     # precision envelope
     for i in range(len(precision) - 2, -1, -1):
         precision[i] = max(precision[i], precision[i + 1])
     ap = 0.0
-    for r in np.linspace(1 / 40, 1.0, 40):
+    for r in recall_points:
         idx = np.searchsorted(recall, r, side="left")
         ap += precision[idx] if idx < len(precision) else 0.0
-    return ap / 40
+    return ap / len(recall_points)
 
 
-def eval_class(gt_annos, det_annos, cls_name, difficulty, metric="3d"):
-    """AP for one (class, difficulty). gt_annos: per-frame dicts with
-    name/gt_boxes_lidar(+bbox/occluded/truncated); det_annos: per-frame
-    boxes/scores/labels arrays + a name list OR labels matching class index.
-    """
+R40_POINTS = np.linspace(1 / 40, 1.0, 40)
+# official R11 samples recall 0.0, 0.1, ..., 1.0 (eval.py mAP_R11 takes
+# every 4th of 41 thresholds)
+R11_POINTS = np.linspace(0.0, 1.0, 11)
+
+
+def _ap_r40(scores_tp, num_gt):
+    return _ap_curve(scores_tp, num_gt, R40_POINTS)
+
+
+def _ap_r11(scores_tp, num_gt):
+    return _ap_curve(scores_tp, num_gt, R11_POINTS)
+
+
+def _boxes_2d_iou_np(a, b):
+    """(N, 4), (M, 4) xyxy image boxes -> (N, M) IoU."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.clip((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]), 0, None)
+    area_b = np.clip((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]), 0, None)
+    return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
+
+
+def eval_class(gt_annos, det_annos, cls_name, difficulty, metric="3d",
+               compute_aos=False):
+    """Matching pass for one (class, difficulty). gt_annos: per-frame dicts
+    with name/gt_boxes_lidar(+bbox/occluded/truncated/alpha); det_annos:
+    per-frame boxes/scores arrays + name list (and bbox/alpha for the
+    'bbox'/AOS metrics). Returns (scores_tp list, num_gt)."""
     thresh = IOU_THRESH.get(cls_name, 0.5)
     scores_tp = []
     num_gt_total = 0
     for gt, det in zip(gt_annos, det_annos):
         care, ignored = clean_gt(gt, cls_name, difficulty)
-        gt_boxes = np.asarray(gt.get("gt_boxes_lidar", np.zeros((0, 7))))
         det_names = np.asarray(det.get("name", []))
         if len(det_names):
             det_mask = det_names == cls_name
         else:
             det_mask = np.ones(len(det.get("boxes", [])), bool)
-        det_boxes = np.asarray(det.get("boxes", np.zeros((0, 7))))[det_mask][:, :7]
         det_scores = np.asarray(det.get("scores", np.zeros(0)))[det_mask]
         num_gt_total += int(care.sum())
+
+        if metric == "bbox":
+            gt_boxes = np.asarray(gt.get("bbox", np.zeros((0, 4))))
+            det_boxes = np.asarray(
+                det.get("bbox", np.zeros((0, 4))))[det_mask]
+        else:
+            gt_boxes = np.asarray(gt.get("gt_boxes_lidar", np.zeros((0, 7))))
+            det_boxes = np.asarray(
+                det.get("boxes", np.zeros((0, 7))))[det_mask][:, :7]
+        if compute_aos:
+            gt_alpha = np.asarray(gt.get("alpha", np.zeros(len(gt_boxes))))
+            det_alpha = np.asarray(
+                det.get("alpha", np.zeros(int(det_mask.sum()))))[
+                    : len(det_boxes)]
         if len(det_boxes) == 0:
             continue
         if len(gt_boxes) == 0:
-            scores_tp.extend((s, 0) for s in det_scores)
+            scores_tp.extend((s, 0, 0.0) for s in det_scores)
             continue
-        iou_fn = boxes_iou3d if metric == "3d" else boxes_iou_bev
-        iou = np.asarray(iou_fn(det_boxes.astype(np.float32),
-                                gt_boxes.astype(np.float32)))
+        if metric == "bbox":
+            iou = _boxes_2d_iou_np(det_boxes.astype(np.float64),
+                                   gt_boxes.astype(np.float64))
+        else:
+            iou_fn = boxes_iou3d if metric == "3d" else boxes_iou_bev
+            iou = np.asarray(iou_fn(det_boxes.astype(np.float32),
+                                    gt_boxes.astype(np.float32)))
         order = np.argsort(-det_scores)
         assigned = np.zeros(len(gt_boxes), bool)
         for di in order:
@@ -110,25 +156,48 @@ def eval_class(gt_annos, det_annos, cls_name, difficulty, metric="3d"):
             gi = int(np.argmax(care_row))
             if care_row[gi] >= thresh:
                 assigned[gi] = True
-                scores_tp.append((det_scores[di], 1))
+                sim = 0.0
+                if compute_aos:
+                    sim = (1.0 + np.cos(gt_alpha[gi] - det_alpha[di])) / 2.0
+                scores_tp.append((det_scores[di], 1, sim))
                 continue
             ign_row = np.where(ignored, row, -1.0)
             gi = int(np.argmax(ign_row))
             if ign_row[gi] >= thresh:
                 assigned[gi] = True  # matched an ignored gt: neither TP nor FP
             else:
-                scores_tp.append((det_scores[di], 0))
-    return _ap_r40(scores_tp, num_gt_total) * 100.0
+                scores_tp.append((det_scores[di], 0, 0.0))
+    return scores_tp, num_gt_total
 
 
-def kitti_eval(gt_annos, det_annos, class_names, metrics=("bev", "3d")):
-    """Returns (result_str, result_dict) with AP_R40 per class x difficulty."""
+def kitti_eval(gt_annos, det_annos, class_names, metrics=("bev", "3d"),
+               compute_aos=None):
+    """Returns (result_str, result_dict) with AP_R40 and AP_R11 per
+    class x metric x difficulty, plus AOS when 2D boxes + alphas are present
+    (kitti_object_eval_python/eval.py:454-467 — both recall samplings)."""
+    if compute_aos is None:
+        compute_aos = any(
+            len(np.asarray(d.get("bbox", []))) and "alpha" in d
+            for d in det_annos
+        )
     result = {}
+    metrics = tuple(metrics) + (("bbox",) if compute_aos else ())
     for cls_name in class_names:
         for metric in metrics:
+            aos = compute_aos and metric == "bbox"
             for d, dname in enumerate(["easy", "moderate", "hard"]):
-                ap = eval_class(gt_annos, det_annos, cls_name, d, metric)
-                result[f"{cls_name}_{metric}_{dname}_R40"] = ap
+                scores_tp, num_gt = eval_class(
+                    gt_annos, det_annos, cls_name, d, metric,
+                    compute_aos=aos)
+                result[f"{cls_name}_{metric}_{dname}_R40"] = \
+                    _ap_r40(scores_tp, num_gt) * 100.0
+                result[f"{cls_name}_{metric}_{dname}_R11"] = \
+                    _ap_r11(scores_tp, num_gt) * 100.0
+                if aos:
+                    result[f"{cls_name}_aos_{dname}_R40"] = _ap_curve(
+                        scores_tp, num_gt, R40_POINTS, use_sim=True) * 100.0
+                    result[f"{cls_name}_aos_{dname}_R11"] = _ap_curve(
+                        scores_tp, num_gt, R11_POINTS, use_sim=True) * 100.0
     lines = [f"{k}: {v:.2f}" for k, v in result.items()]
     moderate_3d = [
         result.get(f"{c}_3d_moderate_R40", 0.0) for c in class_names

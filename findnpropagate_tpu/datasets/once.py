@@ -55,12 +55,23 @@ class ONCEDataset(DatasetTemplate):
             data_dict["gt_names"] = np.asarray(annos["name"])
         return self.prepare_data(data_dict)
 
-    def evaluation(self, det_annos, class_names, **kwargs):
-        from .eval_utils import simple_map_eval
+    def evaluation(self, det_annos, class_names, eval_metric="once",
+                   **kwargs):
+        """Official ONCE protocol (datasets/once_eval.py);
+        eval_metric='simple' keeps the center-distance proxy."""
+        if eval_metric == "simple":
+            from .eval_utils import simple_map_eval
 
-        gts = [{"gt_boxes": np.asarray(
-                    info.get("annos", {}).get("boxes_3d", np.zeros((0, 7)))),
-                "gt_names": np.asarray(
-                    info.get("annos", {}).get("name", []))}
+            gts = [{"gt_boxes": np.asarray(
+                        info.get("annos", {}).get("boxes_3d",
+                                                  np.zeros((0, 7)))),
+                    "gt_names": np.asarray(
+                        info.get("annos", {}).get("name", []))}
+                   for info in self.infos[: len(det_annos)]]
+            return simple_map_eval(det_annos, gts, class_names, **kwargs)
+        from .once_eval import once_eval
+
+        gts = [info.get("annos", {"name": np.array([]),
+                                  "boxes_3d": np.zeros((0, 7))})
                for info in self.infos[: len(det_annos)]]
-        return simple_map_eval(det_annos, gts, class_names, **kwargs)
+        return once_eval(gts, det_annos, list(class_names))

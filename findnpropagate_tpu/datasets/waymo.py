@@ -86,13 +86,22 @@ class WaymoDataset(DatasetTemplate):
             data_dict["gt_names"] = names
         return self.prepare_data(data_dict)
 
-    def evaluation(self, det_annos, class_names, **kwargs):
-        """Waymo-official AP needs the waymo devkit (absent); reports the
-        center-distance protocol as a proxy (kwargs pass known_classes)."""
-        from .eval_utils import simple_map_eval
+    def evaluation(self, det_annos, class_names, eval_metric="waymo",
+                   **kwargs):
+        """Waymo LEVEL_1/2 AP/APH via the devkit-free protocol
+        (datasets/waymo_eval.py); eval_metric='simple' keeps the
+        center-distance proxy."""
+        if eval_metric == "simple":
+            from .eval_utils import simple_map_eval
 
-        gts = [{"gt_boxes": info.get("annos", {}).get(
-                    "gt_boxes_lidar", np.zeros((0, 7))),
-                "gt_names": info.get("annos", {}).get("name", np.array([]))}
+            gts = [{"gt_boxes": info.get("annos", {}).get(
+                        "gt_boxes_lidar", np.zeros((0, 7))),
+                    "gt_names": info.get("annos", {}).get(
+                        "name", np.array([]))}
+                   for info in self.infos[: len(det_annos)]]
+            return simple_map_eval(det_annos, gts, class_names, **kwargs)
+        from .waymo_eval import waymo_eval
+
+        gts = [info.get("annos", {"name": np.array([])})
                for info in self.infos[: len(det_annos)]]
-        return simple_map_eval(det_annos, gts, class_names, **kwargs)
+        return waymo_eval(gts, det_annos, class_names)

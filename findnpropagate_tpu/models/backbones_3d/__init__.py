@@ -1,6 +1,10 @@
+from .pointnet2_backbone import PointNet2MSG
 from .spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from .spconv_backbone_voxelnext import VoxelResBackBone8xVoxelNeXt
 
 BACKBONE_3D_REGISTRY = {
     "VoxelResBackBone8x": VoxelResBackBone8x,
     "VoxelBackBone8x": VoxelBackBone8x,
+    "VoxelResBackBone8xVoxelNeXt": VoxelResBackBone8xVoxelNeXt,
+    "PointNet2MSG": PointNet2MSG,
 }

@@ -1,0 +1,405 @@
+"""VoxelNeXtHead — fully sparse CenterPoint-style detection head.
+
+Behavioral parity with pcdet/models/dense_heads/voxelnext_head.py:14-579
+(/root/reference): per-class-group SeparateHeads of submanifold 2D convs over
+the sparse BEV active set; targets assign each GT to its NEAREST active voxel
+(not a fixed grid cell) with voxel-distance gaussians drawn on the active
+list ('nearst' + 'gt_center' types); sparse CenterNet focal + masked L1 at
+the assigned voxels; decode reads boxes directly off active voxels (top-K +
+class-agnostic NMS per group). No dense heatmap is ever built.
+
+TPU redesign: the per-object python assign loop becomes masked (M, V)
+distance matrices vmapped over the batch; head convs run on the windowed
+sparse pipeline (ops/sparse_ops.windowed_conv) over the backbone's sorted
+BEV id list.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.nms import nms_bev
+from ...ops.sparse_ops import windowed_conv, yxz_offset_deltas, yxz_sentinel_start
+from ...utils import losses as L
+from ..blocks import MaskedBatchNorm
+from ..model_utils.centernet import gaussian_radius
+from ..post_processing import Detections
+from .center_head import make_center_head_tools  # noqa: F401 (groups helper)
+
+
+class SparseConv2dParam(nn.Module):
+    in_ch: int
+    out_ch: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self):
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (self.kernel_size ** 2, self.in_ch, self.out_ch),
+        )
+        b = self.param(
+            "bias", nn.initializers.constant(self.bias_init), (self.out_ch,)
+        ) if self.use_bias else None
+        return w, b
+
+
+class SparseSeparateHead(nn.Module):
+    """SeparateHead of SubMConv2d chains (voxelnext_head.py:14-49)."""
+
+    head_dict: Any
+    head_channels: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    init_bias: float = -2.19
+
+    def setup(self):
+        mods = {}
+        for name, spec in self.head_dict.items():
+            chain = []
+            for i in range(int(spec["num_conv"]) - 1):
+                chain.append((
+                    SparseConv2dParam(self.head_channels, self.head_channels,
+                                      kernel_size=self.kernel_size,
+                                      use_bias=self.use_bias,
+                                      name=f"{name}_conv{i}"),
+                    MaskedBatchNorm(self.head_channels, name=f"{name}_bn{i}"),
+                ))
+            final_bias = self.init_bias if name == "hm" else 0.0
+            chain.append((nn.Dense(
+                int(spec["out_channels"]), use_bias=True,
+                bias_init=nn.initializers.constant(final_bias),
+                name=f"{name}_out",
+            ), None))
+            mods[name] = chain
+        self.branches = mods
+
+    def __call__(self, ids, feats, valid, shape2d, win_cfg, train: bool):
+        block, window, prec = win_cfg
+        deltas = jnp.asarray(
+            yxz_offset_deltas((1, self.kernel_size, self.kernel_size),
+                              shape2d))
+        sent = yxz_sentinel_start(shape2d)
+        out = {}
+        ovf_total = 0
+        for name, chain in self.branches.items():
+            x = feats
+            for mod, bn in chain[:-1]:
+                w, b = mod()
+                if self.kernel_size == 1:
+                    # 1x1 subm conv == per-row matmul; no windowing needed
+                    # (the reference nuScenes cfg uses KERNEL_SIZE_HEAD: 1)
+                    y = jnp.einsum("bvc,co->bvo", x, w[0])
+                else:
+                    y, ovf = jax.vmap(
+                        lambda i, f: windowed_conv(
+                            i, f, i, w, deltas, block=block, window=window,
+                            precision=prec, sentinel_start=sent)
+                    )(ids, x)
+                    ovf_total = ovf_total + jnp.sum(ovf)
+                if b is not None:
+                    y = y + b[None, None, :]
+                y = jnp.where(valid[..., None], y, 0.0)
+                y = nn.relu(bn(y, valid, train))
+                x = y
+            dense, _ = chain[-1]
+            out[name] = jnp.where(valid[..., None], dense(x), 0.0)
+        return out, ovf_total
+
+
+class VoxelNeXtHead(nn.Module):
+    model_cfg: Any
+    input_channels: int
+    num_class: int
+    class_names: tuple
+    grid_size: tuple
+    point_cloud_range: tuple
+    voxel_size: tuple = ()
+    predict_boxes_when_training: bool = False
+
+    def setup(self):
+        cfg = self.model_cfg
+        groups = cfg.get("CLASS_NAMES_EACH_HEAD") or [list(self.class_names)]
+        heads = []
+        for gi, group in enumerate(groups):
+            hd = dict(cfg["SEPARATE_HEAD_CFG"]["HEAD_DICT"])
+            hd["hm"] = {"out_channels": len(group),
+                        "num_conv": int(cfg.get("NUM_HM_CONV", 2))}
+            heads.append(SparseSeparateHead(
+                head_dict=hd,
+                head_channels=int(cfg.get("SHARED_CONV_CHANNEL",
+                                          self.input_channels)),
+                kernel_size=int(cfg.get("KERNEL_SIZE_HEAD", 3)),
+                use_bias=bool(cfg.get("USE_BIAS_BEFORE_NORM", False)),
+                name=f"group{gi}",
+            ))
+        self.head_groups = heads
+
+    def __call__(self, batch, train: bool):
+        bev = batch["encoded_sparse_bev"]
+        shape2d = (1,) + tuple(batch["encoded_sparse_bev_shape"])
+        cfg = self.model_cfg
+        block = int(cfg.get("WINDOWED_BLOCK", 640))
+        window = int(cfg.get("WINDOWED_WINDOW", 1024))
+        prec_name = str(cfg.get("WINDOWED_PRECISION", "default")).lower()
+        prec = {"default": None, "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[prec_name]
+        assert bev["ids"].shape[1] % block == 0, \
+            "head WINDOWED_BLOCK must divide the backbone's padded BEV list"
+
+        preds = []
+        ovf = 0
+        for mod in self.head_groups:
+            p, o = mod(bev["ids"], bev["features"], bev["valid"], shape2d,
+                       (block, window, prec), train)
+            preds.append(p)
+            ovf = ovf + o
+        batch["voxelnext_preds"] = tuple(preds)
+        batch["voxelnext_voxels"] = {
+            "coords": bev["coords"], "valid": bev["valid"],
+        }
+        if "sparse_window_overflow" in batch:
+            batch["sparse_window_overflow"] = (
+                batch["sparse_window_overflow"] + ovf)
+        return batch
+
+
+@dataclass(frozen=True)
+class VoxelNeXtHeadTools:
+    model_cfg: Any
+    num_classes: int
+    grid_size: tuple
+    point_cloud_range: tuple
+    voxel_size: tuple
+    class_names: tuple = ()
+    groups: tuple = ()  # per-group GLOBAL 1-indexed labels
+
+    @property
+    def group_labels(self):
+        if self.groups:
+            return self.groups
+        return (tuple(range(1, self.num_classes + 1)),)
+
+    @property
+    def stride(self):
+        return int(
+            self.model_cfg["TARGET_ASSIGNER_CONFIG"]["FEATURE_MAP_STRIDE"])
+
+    @property
+    def head_order(self):
+        return list(self.model_cfg["SEPARATE_HEAD_CFG"]["HEAD_ORDER"])
+
+    def _assign_single(self, gt_boxes, gt_labels, gt_valid, vox_xy,
+                       vox_valid, num_classes):
+        """One sample, one group. gt_* (M, ...) with LOCAL 0-indexed labels;
+        vox_xy (V, 2) active-voxel (x, y) in feature-map units.
+        Returns heatmap (C, V), targets (M, code), inds (M,), mask (M,).
+        (voxelnext_head.py:195-254)"""
+        cfg = self.model_cfg["TARGET_ASSIGNER_CONFIG"]
+        ny = int(self.grid_size[1]) // self.stride
+        nx = int(self.grid_size[0]) // self.stride
+        vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
+        pcr = self.point_cloud_range
+        gratio = float(self.model_cfg.get("GAUSSIAN_RATIO", 1))
+        gtypes = list(self.model_cfg.get("GAUSSIAN_TYPE",
+                                         ["nearst", "gt_center"]))
+
+        cx = jnp.clip((gt_boxes[:, 0] - pcr[0]) / vx / self.stride,
+                      0, nx - 0.5)
+        cy = jnp.clip((gt_boxes[:, 1] - pcr[1]) / vy / self.stride,
+                      0, ny - 0.5)
+        dx = gt_boxes[:, 3] / vx / self.stride
+        dy = gt_boxes[:, 4] / vy / self.stride
+        radius = gaussian_radius(dx, dy,
+                                 float(cfg.get("GAUSSIAN_OVERLAP", 0.1)))
+        radius = jnp.maximum(radius.astype(jnp.int32),
+                             int(cfg.get("MIN_RADIUS", 2)))
+        valid = gt_valid & (dx > 0) & (dy > 0)
+
+        center = jnp.stack([cx, cy], -1)                      # (M, 2)
+        big = jnp.float32(1e12)
+        d_gt = jnp.sum((vox_xy[None] - center[:, None]) ** 2, -1)  # (M, V)
+        d_gt = jnp.where(vox_valid[None, :], d_gt, big)
+        inds = jnp.argmin(d_gt, axis=1)                       # (M,)
+        near_xy = vox_xy[inds]                                # (M, 2)
+
+        # gaussians drawn on active voxels, max-reduced per class
+        diam = 2 * radius.astype(jnp.float32) * gratio + 1
+        sig2 = 2 * (diam / 6.0) ** 2
+        gs = []
+        if "gt_center" in gtypes:
+            gs.append(jnp.exp(-d_gt / sig2[:, None]))
+        if "nearst" in gtypes:
+            d_nn = jnp.sum((vox_xy[None] - near_xy[:, None]) ** 2, -1)
+            d_nn = jnp.where(vox_valid[None, :], d_nn, big)
+            gs.append(jnp.exp(-d_nn / sig2[:, None]))
+        g = jnp.maximum(*gs) if len(gs) == 2 else gs[0]        # (M, V)
+        g = jnp.where((valid[:, None]) & vox_valid[None, :], g, 0.0)
+        cls = jnp.clip(gt_labels, 0, num_classes - 1)
+        onehot = jax.nn.one_hot(cls, num_classes, axis=0)      # (C, M)
+        heatmap = jnp.max(onehot[:, :, None] * g[None], axis=1)  # (C, V)
+
+        extras = gt_boxes.shape[-1] - 7
+        parts = [
+            center[:, 0] - near_xy[:, 0], center[:, 1] - near_xy[:, 1],
+            gt_boxes[:, 2],
+            jnp.log(jnp.clip(gt_boxes[:, 3], 1e-5)),
+            jnp.log(jnp.clip(gt_boxes[:, 4], 1e-5)),
+            jnp.log(jnp.clip(gt_boxes[:, 5], 1e-5)),
+            jnp.cos(gt_boxes[:, 6]), jnp.sin(gt_boxes[:, 6]),
+        ]
+        for i in range(extras):
+            parts.append(gt_boxes[:, 7 + i])
+        targets = jnp.stack(parts, axis=-1)
+        return (heatmap, jnp.where(valid[:, None], targets, 0.0),
+                jnp.where(valid, inds, 0), valid)
+
+    def assign(self, gt_boxes_with_cls, vox_xy, vox_valid, group=None):
+        gt = gt_boxes_with_cls[..., :-1]
+        glabels = gt_boxes_with_cls[..., -1].astype(jnp.int32)
+        valid = glabels > 0
+        if group is None:
+            labels = jnp.clip(glabels - 1, 0)
+            nc = self.num_classes
+        else:
+            lut = np.full(self.num_classes + 1, -1, np.int32)
+            for li, gl in enumerate(group):
+                lut[gl] = li
+            local = jnp.asarray(lut)[jnp.clip(glabels, 0, self.num_classes)]
+            valid = valid & (local >= 0)
+            labels = jnp.clip(local, 0)
+            nc = len(group)
+        return jax.vmap(
+            lambda g, l, v, xy, vv: self._assign_single(g, l, v, xy, vv, nc)
+        )(gt, labels, valid, vox_xy, vox_valid)
+
+    def compute_loss(self, out_batch):
+        preds_all = out_batch["voxelnext_preds"]
+        vox = out_batch["voxelnext_voxels"]
+        vox_xy = jnp.stack(
+            [vox["coords"][..., 2], vox["coords"][..., 1]], -1
+        ).astype(jnp.float32)
+        vox_valid = vox["valid"]
+        lw = self.model_cfg["LOSS_CONFIG"]["LOSS_WEIGHTS"]
+        code_w = jnp.asarray(lw["code_weights"], jnp.float32)
+        glabels = self.group_labels
+        hm_total, loc_total = 0.0, 0.0
+        for preds, group in zip(preds_all, glabels):
+            group_arg = None if len(glabels) == 1 else group
+            heatmaps, targets, inds, masks = self.assign(
+                out_batch["gt_boxes"], vox_xy, vox_valid, group=group_arg)
+            hm_pred = jnp.clip(
+                jax.nn.sigmoid(jnp.transpose(preds["hm"], (0, 2, 1))),
+                1e-4, 1 - 1e-4)                       # (B, C, V)
+            mask_cv = jnp.broadcast_to(
+                vox_valid[:, None, :], hm_pred.shape)
+            hm_total += L.focal_loss_centernet(
+                hm_pred, heatmaps, mask=mask_cv) * float(lw["cls_weight"])
+
+            reg = jnp.concatenate(
+                [preds[k] for k in self.head_order], axis=-1)  # (B, V, code)
+            gathered = jnp.take_along_axis(
+                reg, inds[..., None].astype(jnp.int32), axis=1)  # (B, M, code)
+            per_dim = L.reg_loss_centernet(
+                gathered, targets[..., : gathered.shape[-1]], masks)
+            loc_total += jnp.sum(per_dim * code_w) * float(lw["loc_weight"])
+        total = hm_total + loc_total
+        return total, {"hm_loss": hm_total, "loc_loss": loc_total,
+                       "rpn_loss": total}
+
+    def get_bboxes(self, out_batch):
+        """decode_bbox_from_voxels_nuscenes + per-group class-agnostic NMS
+        (voxelnext_head.py:429-499)."""
+        preds_all = out_batch["voxelnext_preds"]
+        vox = out_batch["voxelnext_voxels"]
+        pp = self.model_cfg["POST_PROCESSING"]
+        k = int(pp.get("MAX_OBJ_PER_SAMPLE", 500))
+        score_thresh = float(pp.get("SCORE_THRESH", 0.1))
+        post_range = jnp.asarray(pp["POST_CENTER_LIMIT_RANGE"], jnp.float32)
+        nms_cfg = pp.get("NMS_CONFIG", {})
+        vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
+        pcr = self.point_cloud_range
+        head_order = self.head_order
+
+        def one_group(preds, coords, valid, group):
+            vxy = jnp.stack([coords[:, 2], coords[:, 1]], -1).astype(
+                jnp.float32)
+            hm = jax.nn.sigmoid(preds["hm"])          # (V, C)
+            hm = jnp.where(valid[:, None], hm, 0.0)
+            v, c = hm.shape
+            kk = min(k, v * c)
+            scores, flat = jax.lax.top_k(hm.reshape(-1), kk)
+            vox_idx = flat // c
+            cls_local = flat % c
+            reg = jnp.concatenate([preds[h] for h in head_order], -1)
+            g = reg[vox_idx]
+            x = (vxy[vox_idx, 0] + g[:, 0]) * self.stride * vx + pcr[0]
+            y = (vxy[vox_idx, 1] + g[:, 1]) * self.stride * vy + pcr[1]
+            z = g[:, 2]
+            dims = jnp.exp(g[:, 3:6])
+            ang = jnp.arctan2(g[:, 7], g[:, 6])
+            parts = [x[:, None], y[:, None], z[:, None], dims, ang[:, None]]
+            if "vel" in head_order:
+                parts.append(g[:, 8:10])
+            boxes = jnp.concatenate(parts, -1)
+            ok = (
+                (scores > score_thresh)
+                & jnp.all(boxes[:, :3] >= post_range[:3], -1)
+                & jnp.all(boxes[:, :3] <= post_range[3:], -1)
+                & valid[vox_idx]
+            )
+            idx, num = nms_bev(
+                boxes, jnp.where(ok, scores, 0.0),
+                float(nms_cfg.get("NMS_THRESH", 0.7)),
+                pre_maxsize=int(nms_cfg.get("NMS_PRE_MAXSIZE", kk)),
+                post_maxsize=int(nms_cfg.get("NMS_POST_MAXSIZE", 128)),
+                valid_mask=ok,
+            )
+            safe = jnp.clip(idx, 0)
+            good = idx >= 0
+            lut = jnp.asarray((0,) + tuple(group), jnp.int32)
+            labels = lut[jnp.clip(cls_local[safe] + 1, 0, len(group))]
+            return (jnp.where(good[:, None], boxes[safe], 0.0),
+                    jnp.where(good, scores[safe], 0.0),
+                    jnp.where(good, labels, 0).astype(jnp.int32), num)
+
+        parts = []
+        for preds, group in zip(preds_all, self.group_labels):
+            out = jax.vmap(
+                lambda p, c, v: one_group(p, c, v, group)
+            )(preds, vox["coords"], vox["valid"])
+            parts.append(out)
+        boxes = jnp.concatenate([p[0] for p in parts], axis=1)
+        scores = jnp.concatenate([p[1] for p in parts], axis=1)
+        labels = jnp.concatenate([p[2] for p in parts], axis=1)
+        count = sum(p[3] for p in parts)
+        return Detections(boxes, scores, labels, count)
+
+
+def make_voxelnext_head_tools(model_cfg, num_class, grid_size,
+                              point_cloud_range, voxel_size, class_names=()):
+    groups_cfg = model_cfg.get("CLASS_NAMES_EACH_HEAD")
+    groups = ()
+    if groups_cfg:
+        names = list(class_names)
+        groups = tuple(
+            tuple(names.index(n) + 1 for n in group) for group in groups_cfg
+        )
+    return VoxelNeXtHeadTools(
+        model_cfg=model_cfg,
+        num_classes=num_class,
+        grid_size=tuple(int(g) for g in grid_size),
+        point_cloud_range=tuple(float(v) for v in point_cloud_range),
+        voxel_size=tuple(float(v) for v in voxel_size),
+        class_names=tuple(class_names),
+        groups=groups,
+    )

@@ -63,9 +63,11 @@ class DetectorModule(nn.Module):
             modules.append("vfe")
         if "BACKBONE_3D" in cfg:
             bb3_cls = BACKBONE_3D_REGISTRY[cfg["BACKBONE_3D"]["NAME"]]
+            bb3_in = self.vfe.output_dim if "VFE" in cfg \
+                else self.num_point_features  # point-based backbones
             self.backbone_3d = bb3_cls(
                 model_cfg=cfg["BACKBONE_3D"],
-                input_channels=self.vfe.output_dim,
+                input_channels=bb3_in,
                 grid_size=tuple(self.grid_size),
             )
             modules.append("backbone_3d")
@@ -97,9 +99,14 @@ class DetectorModule(nn.Module):
             modules.append("backbone_2d")
         if "DENSE_HEAD" in cfg:
             head_cls = DENSE_HEAD_REGISTRY[cfg["DENSE_HEAD"]["NAME"]]
+            if "BACKBONE_2D" in cfg:
+                head_in = self.backbone_2d.num_bev_features
+            else:
+                # fully sparse heads (VoxelNeXt) read the backbone_3d output
+                head_in = self.backbone_3d.num_bev_features
             self.dense_head = head_cls(
                 model_cfg=cfg["DENSE_HEAD"],
-                input_channels=self.backbone_2d.num_bev_features,
+                input_channels=head_in,
                 num_class=self.num_class,
                 class_names=tuple(self.class_names),
                 grid_size=tuple(self.grid_size),
@@ -108,12 +115,19 @@ class DetectorModule(nn.Module):
             )
             modules.append("dense_head")
         if "POINT_HEAD" in cfg:
-            from ..dense_heads.point_head_simple import PointHeadSimple
+            ph_name = cfg["POINT_HEAD"].get("NAME", "PointHeadSimple")
+            if ph_name == "PointHeadBox":
+                from ..dense_heads.point_head_box import PointHeadBox
 
-            self.point_head = PointHeadSimple(
-                model_cfg=cfg["POINT_HEAD"],
-                input_channels=0,
-            )
+                self.point_head = PointHeadBox(
+                    model_cfg=cfg["POINT_HEAD"], input_channels=0)
+            else:
+                from ..dense_heads.point_head_simple import PointHeadSimple
+
+                self.point_head = PointHeadSimple(
+                    model_cfg=cfg["POINT_HEAD"],
+                    input_channels=0,
+                )
             modules.append("point_head")
         if "ROI_HEAD" in cfg:
             roi_cls = ROI_HEAD_REGISTRY[cfg["ROI_HEAD"]["NAME"]]
@@ -148,7 +162,7 @@ class DetectorModule(nn.Module):
     def __call__(self, batch, train: bool = False, upto: int = None):
         """upto: run only the first `upto` modules (profiling hook)."""
         batch = dict(batch)
-        if "voxels" not in batch:
+        if "voxels" not in batch and "VFE" in self.model_cfg:
             batch = self._voxelize(batch)
         order = self.module_order if upto is None else self.module_order[:upto]
         for name in order:
@@ -213,6 +227,8 @@ class Detector3D:
             )
         if "center_preds" in out_batch:
             return self.head_tools.get_bboxes(out_batch)
+        if "voxelnext_preds" in out_batch:
+            return self.head_tools.get_bboxes(out_batch)
         pc = self.post_cfg
         nms_cfg = pc["NMS_CONFIG"]
         return post_process(
@@ -230,12 +246,16 @@ def build_detector(model_cfg, num_class, dataset):
     """dataset provides: class_names, grid_size, voxel_size, point_cloud_range,
     num_point_features, max_voxels, max_points_per_voxel (mirrors
     detector3d_template.py:57-65)."""
+    # point-based pipelines (PointRCNN) have no voxelization step
+    grid_size = dataset.grid_size if dataset.grid_size is not None else (1, 1, 1)
+    voxel_size = dataset.voxel_size if dataset.voxel_size is not None \
+        else (1.0, 1.0, 1.0)
     module = DetectorModule(
         model_cfg=model_cfg,
         num_class=num_class,
         class_names=tuple(dataset.class_names),
-        grid_size=tuple(int(g) for g in dataset.grid_size),
-        voxel_size=tuple(float(v) for v in dataset.voxel_size),
+        grid_size=tuple(int(g) for g in grid_size),
+        voxel_size=tuple(float(v) for v in voxel_size),
         point_cloud_range=tuple(float(v) for v in dataset.point_cloud_range),
         num_point_features=int(dataset.num_point_features),
         max_voxels=int(dataset.max_voxels),
@@ -256,6 +276,16 @@ def build_detector(model_cfg, num_class, dataset):
             model_cfg["DENSE_HEAD"], num_class,
             tuple(int(g) for g in dataset.grid_size),
             tuple(float(v) for v in dataset.point_cloud_range),
+        )
+    elif head_name == "VoxelNeXtHead":
+        from ..dense_heads.voxelnext_head import make_voxelnext_head_tools
+
+        head_tools = make_voxelnext_head_tools(
+            model_cfg["DENSE_HEAD"], num_class,
+            tuple(int(g) for g in dataset.grid_size),
+            tuple(float(v) for v in dataset.point_cloud_range),
+            tuple(float(v) for v in dataset.voxel_size),
+            class_names=tuple(dataset.class_names),
         )
     elif head_name == "TransFusionHead":
         head_cfg = model_cfg["DENSE_HEAD"]
@@ -278,7 +308,8 @@ def build_detector(model_cfg, num_class, dataset):
             unknown_labels=unknown_labels,
             relabel_lut=relabel_lut,
         )
-    if head_tools is not None and "ROI_HEAD" in model_cfg:
+    if "ROI_HEAD" in model_cfg and (
+            head_tools is not None or "POINT_HEAD" in model_cfg):
         roi_name = model_cfg["ROI_HEAD"]["NAME"]
         if roi_name == "SECONDHead":
             from ..roi_heads.second_head import rcnn_iou_loss as roi_loss_fn
@@ -287,6 +318,7 @@ def build_detector(model_cfg, num_class, dataset):
                 pvrcnn_rcnn_loss as roi_loss_fn,
             )
         point_cfg = model_cfg.get("POINT_HEAD")
+        point_head_name = (point_cfg or {}).get("NAME", "PointHeadSimple")
 
         @dataclass
         class TwoStageTools:
@@ -294,22 +326,32 @@ def build_detector(model_cfg, num_class, dataset):
             roi_loss_cfg: Any
 
             def compute_loss(self, out_batch):
-                loss1, tb = self.stage1.compute_loss(out_batch)
+                if self.stage1 is not None:
+                    loss1, tb = self.stage1.compute_loss(out_batch)
+                else:
+                    loss1, tb = 0.0, {}
                 loss2, tb2 = roi_loss_fn(out_batch, self.roi_loss_cfg)
                 tb = dict(tb)
                 tb.update(tb2)
                 total = loss1 + loss2
                 if point_cfg is not None:
-                    from ..dense_heads.point_head_simple import (
-                        point_head_loss,
-                    )
+                    if point_head_name == "PointHeadBox":
+                        from ..dense_heads.point_head_box import (
+                            point_head_box_loss,
+                        )
 
-                    lp, tbp = point_head_loss(
-                        out_batch, point_cfg["LOSS_CONFIG"],
-                        extra_width=tuple(
-                            point_cfg.get("TARGET_CONFIG", {}).get(
-                                "GT_EXTRA_WIDTH", (0.2, 0.2, 0.2))),
-                    )
+                        lp, tbp = point_head_box_loss(out_batch, point_cfg)
+                    else:
+                        from ..dense_heads.point_head_simple import (
+                            point_head_loss,
+                        )
+
+                        lp, tbp = point_head_loss(
+                            out_batch, point_cfg["LOSS_CONFIG"],
+                            extra_width=tuple(
+                                point_cfg.get("TARGET_CONFIG", {}).get(
+                                    "GT_EXTRA_WIDTH", (0.2, 0.2, 0.2))),
+                        )
                     total = total + lp
                     tb.update(tbp)
                 return total, tb

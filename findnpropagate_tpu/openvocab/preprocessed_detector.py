@@ -95,6 +95,20 @@ class PreprocessedDetector:
                 cams.append(cam_idx)
         return pad_detections(boxes, labels, scores, cams, self.max_dets)
 
+    def infer_kitti(self, frame_id):
+        """Single-camera KITTI lookup keyed by frame id
+        (preprocessed_detector.py:244-290 infer_kitti — cam_idx is always 0;
+        the reference raises on a missing frame, we return empty)."""
+        boxes, labels, scores, cams = [], [], [], []
+        for box, label, score, _cam in self.by_image.get(
+            Path(str(frame_id)).stem, []
+        ):
+            boxes.append(box)
+            labels.append(label)
+            scores.append(score)
+            cams.append(0)
+        return pad_detections(boxes, labels, scores, cams, self.max_dets)
+
 
 class PreprocessedGLIP:
     """GLIP .pth + COCO meta json loader (preprocessed_detector.py:7-110).

@@ -498,6 +498,70 @@ def win_downsample(coords, valid, in_shape, out_shape, max_out: int,
     return out_ids.astype(jnp.int32), out_coords, out_valid
 
 
+def bev_merge(coords_list, valid_list, feats_list, scales, bev_shape,
+              max_out: int):
+    """Multi-scale sparse BEV collapse (VoxelNeXt's bev_out +
+    multi-scale concat, spconv_backbone_voxelnext.py:141-186): scale each
+    level's (y, x) coords into the target BEV grid, drop z, and SUM the
+    features of coinciding cells. Single sample; batch via vmap.
+
+    coords_list: per scale (V_i, 3) zyx int32; scales: static ints mapping
+    each level's coords into the target grid; bev_shape: (ny, nx).
+    Returns (ids (Vo,), coords (Vo, 3) zyx with z=0, valid (Vo,), feats
+    (Vo, C)) sorted by the (1, ny, nx) guard-banded yxz id — i.e. a ready
+    windowed level for the sparse-2D head stages.
+    """
+    ny, nx = (int(s) for s in bev_shape)
+    shape2d = (1, ny, nx)
+    stride_x, stride_y = _yxz_strides(shape2d)
+    sentinel = yxz_sentinel_start(shape2d)
+    c = feats_list[0].shape[-1]
+
+    all_ids, all_feats = [], []
+    for coords, valid, feats, s in zip(coords_list, valid_list, feats_list,
+                                       scales):
+        y = coords[:, 1] * s
+        x = coords[:, 2] * s
+        inside = valid & (y >= 0) & (y < ny) & (x >= 0) & (x < nx)
+        ids = y * stride_y + (x + 1) * stride_x + 1
+        all_ids.append(jnp.where(inside, ids, sentinel))
+        all_feats.append(jnp.where(inside[:, None], feats, 0.0))
+    ids = jnp.concatenate(all_ids)
+    feats = jnp.concatenate(all_feats, axis=0)
+
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    feats_s = feats[order]
+    is_real = ids_s < sentinel
+    newseg = jnp.concatenate(
+        [is_real[:1], (ids_s[1:] != ids_s[:-1]) & is_real[1:]]
+    )
+    slot = jnp.cumsum(newseg.astype(jnp.int32)) - 1
+    in_cap = is_real & (slot < max_out) & (slot >= 0)
+    write = jnp.where(in_cap, slot, max_out)
+
+    out_feats = jnp.zeros((max_out + 1, c), feats.dtype)
+    out_feats = out_feats.at[write].add(
+        jnp.where(in_cap[:, None], feats_s, 0.0))[:max_out]
+    out_ids = jnp.full((max_out + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    out_ids = out_ids.at[jnp.where(in_cap & newseg, slot, max_out)].min(
+        ids_s)[:max_out]
+    num_out = jnp.minimum(jnp.sum(newseg), max_out)
+    out_valid = jnp.arange(max_out) < num_out
+
+    oy = out_ids // stride_y
+    rem = out_ids % stride_y
+    ox = rem // stride_x - 1
+    out_coords = jnp.where(
+        out_valid[:, None],
+        jnp.stack([jnp.zeros_like(oy), oy, ox], axis=1), -1
+    ).astype(jnp.int32)
+    slot_arange = jnp.arange(max_out, dtype=jnp.int32)
+    out_ids = jnp.where(out_valid, out_ids, sentinel + slot_arange)
+    return (out_ids.astype(jnp.int32), out_coords, out_valid,
+            jnp.where(out_valid[:, None], out_feats, 0.0))
+
+
 def coords_to_dense(coords, valid, feats, shape):
     """(V, C) active features + zyx coords -> dense (nz, ny, nx, C); the
     tableless counterpart of sparse_to_dense for the windowed pipeline."""

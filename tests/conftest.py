@@ -20,4 +20,7 @@ os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides JAX_PLATFORMS during backend discovery; the
+# config flag is the only way to actually pin CPU in that environment.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

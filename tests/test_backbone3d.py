@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from findnpropagate_tpu.models.backbones_3d import VoxelResBackBone8x
 
 GRID = (32, 32, 40)  # nx, ny, nz -> sparse z 41

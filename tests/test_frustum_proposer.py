@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from findnpropagate_tpu.openvocab.camera import (
     get_geometry_at_image_coords,
     masked_quantile,

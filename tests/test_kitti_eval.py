@@ -3,7 +3,14 @@ difficulty gates apply, ignored classes don't count as FP."""
 
 import numpy as np
 
-from findnpropagate_tpu.datasets.kitti_eval import eval_class, kitti_eval
+from findnpropagate_tpu.datasets.kitti_eval import (
+    _ap_curve, _ap_r11, _ap_r40, eval_class, kitti_eval, R11_POINTS,
+)
+
+
+def ap_of(gts, dets, cls, diff, metric="3d"):
+    scores_tp, num_gt = eval_class(gts, dets, cls, diff, metric)
+    return _ap_r40(scores_tp, num_gt) * 100.0
 
 
 def make_frame(rng, n, cls="Car"):
@@ -33,7 +40,7 @@ def test_perfect_detections_score_100():
             "scores": rng.uniform(0.5, 1.0, 5),
             "name": np.asarray(["Car"] * 5),
         })
-    ap = eval_class(gts, dets, "Car", 1, metric="3d")
+    ap = ap_of(gts, dets, "Car", 1, metric="3d")
     assert ap > 99.0, ap
 
 
@@ -48,7 +55,7 @@ def test_missed_detections_reduce_ap():
             "scores": rng.uniform(0.5, 1.0, 3),
             "name": np.asarray(["Car"] * 3),
         })
-    ap = eval_class(gts, dets, "Car", 1, metric="3d")
+    ap = ap_of(gts, dets, "Car", 1, metric="3d")
     assert 30.0 < ap < 60.0, ap
 
 
@@ -62,10 +69,10 @@ def test_hard_gt_ignored_at_easy():
         "name": np.asarray(["Car"] * 2),
     }
     # easy difficulty: occluded gts become 'ignored' -> only 2 care gts
-    ap_easy = eval_class([g], [det], "Car", 0, metric="3d")
+    ap_easy = ap_of([g], [det], "Car", 0, metric="3d")
     assert ap_easy > 99.0
     # hard difficulty: all 4 count -> recall 0.5
-    ap_hard = eval_class([g], [det], "Car", 2, metric="3d")
+    ap_hard = ap_of([g], [det], "Car", 2, metric="3d")
     assert ap_hard < 60.0
 
 
@@ -78,7 +85,7 @@ def test_van_matches_dont_penalize_car():
         "scores": np.array([0.9, 0.8]),
         "name": np.asarray(["Car", "Car"]),
     }
-    ap = eval_class([g], [det], "Car", 1, metric="3d")
+    ap = ap_of([g], [det], "Car", 1, metric="3d")
     # detection on the Van is neither TP nor FP -> AP stays 100
     assert ap > 99.0, ap
 
@@ -92,3 +99,41 @@ def test_kitti_eval_summary():
     s, r = kitti_eval([g], [det], ["Car"])
     assert "Car_3d_moderate_R40" in r
     assert r["mAP_3d_moderate_R40"] > 99.0
+
+
+def test_r11_vs_r40_hand_computed():
+    """Half the gts detected perfectly: R40 interpolates 40 points above
+    1/40 recall, R11 includes the r=0 sample (precision 1) -> R11 > R40
+    when recall caps at 0.5 with perfect precision."""
+    rng = np.random.RandomState(5)
+    g = make_frame(rng, 4)
+    det = {"boxes": g["gt_boxes_lidar"][:2].copy(),
+           "scores": np.array([0.9, 0.8]),
+           "name": np.asarray(["Car"] * 2)}
+    scores_tp, num_gt = eval_class([g], [det], "Car", 1, "3d")
+    r40 = _ap_r40(scores_tp, num_gt)
+    r11 = _ap_r11(scores_tp, num_gt)
+    # hand-computed: precision 1.0 up to recall 0.5, 0 beyond
+    # R40: 20/40 samples covered; R11: 6/11 samples (0.0..0.5)
+    assert abs(r40 - 20 / 40) < 1e-6, r40
+    assert abs(r11 - 6 / 11) < 1e-6, r11
+
+
+def test_aos_perfect_and_flipped_orientation():
+    rng = np.random.RandomState(6)
+    g = make_frame(rng, 2)
+    g["alpha"] = np.array([0.3, -0.5])
+    det = {"boxes": g["gt_boxes_lidar"].copy(),
+           "bbox": g["bbox"].copy(),
+           "scores": np.array([0.9, 0.8]),
+           "alpha": g["alpha"].copy(),
+           "name": np.asarray(["Car"] * 2)}
+    s, r = kitti_eval([g], [det], ["Car"])
+    # perfect orientations -> AOS == bbox AP (≈100)
+    assert r["Car_aos_moderate_R40"] > 99.0, r["Car_aos_moderate_R40"]
+    assert r["Car_bbox_moderate_R40"] > 99.0
+    # flip both orientations by pi -> similarity (1+cos(pi))/2 = 0
+    det_flipped = dict(det, alpha=det["alpha"] + np.pi)
+    s2, r2 = kitti_eval([g], [det_flipped], ["Car"])
+    assert r2["Car_aos_moderate_R40"] < 1.0, r2["Car_aos_moderate_R40"]
+    assert r2["Car_bbox_moderate_R40"] > 99.0  # matching unaffected

@@ -11,6 +11,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from findnpropagate_tpu.config import EDict
 from findnpropagate_tpu.datasets import build_dataloader
 from findnpropagate_tpu.models import build_network

@@ -9,6 +9,8 @@ select the SAME proposals (label-level bit parity) with coords to 1e-3."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from findnpropagate_tpu.openvocab.frustum_proposer import (

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from findnpropagate_tpu.ops.sparse_ops import (
     SparseGrid,
     build_grid,

@@ -46,7 +46,15 @@ def main():
     dataset.data_augmentor = None
 
     head_cfg = cfg.MODEL.DENSE_HEAD
-    seeker = FrustumProposerOG.from_config(head_cfg, cfg.CLASS_NAMES)
+    kitti_mode = head_cfg.NAME == "FrustumProposerOGKITTI"
+    if kitti_mode:
+        from findnpropagate_tpu.openvocab.frustum_proposer_kitti import (
+            FrustumProposerOGKITTI,
+        )
+
+        seeker = FrustumProposerOGKITTI.from_config(head_cfg, cfg.CLASS_NAMES)
+    else:
+        seeker = FrustumProposerOG.from_config(head_cfg, cfg.CLASS_NAMES)
     preds_paths = head_cfg.get("PREDS_PATHS", [])
     detector2d = PreprocessedDetector(preds_paths, cfg.CLASS_NAMES) \
         if preds_paths else None
@@ -60,22 +68,34 @@ def main():
         if detector2d is None:
             logger.warning("no PREDS_PATHS configured; nothing to extract")
             break
-        dets = detector2d.infer(data.get("camera_paths", []))
         P = dataset.max_points
         pts = np.zeros((P, 3), np.float32)
         n = min(len(data["points"]), P)
         pts[:n] = data["points"][:n, :3]
         pmask = np.zeros(P, bool)
         pmask[:n] = True
-        out = seeker.propose(
-            jnp.asarray(pts), jnp.asarray(pmask),
-            jnp.asarray(dets["det_boxes"]), jnp.asarray(dets["det_labels"]),
-            jnp.asarray(dets["det_scores"]), jnp.asarray(dets["det_cams"]),
-            jnp.asarray(dets["det_mask"]),
-            jnp.asarray(data["lidar2image"], jnp.float32),
-            jnp.asarray(data["camera2lidar"], jnp.float32),
-            jnp.asarray(data["camera_intrinsics"], jnp.float32),
-        )
+        if kitti_mode:
+            dets = detector2d.infer_kitti(data["frame_id"])
+            calib = data["calib"]
+            out = seeker.propose(
+                jnp.asarray(pts), jnp.asarray(pmask),
+                jnp.asarray(dets["det_boxes"]),
+                jnp.asarray(dets["det_labels"]),
+                jnp.asarray(dets["det_scores"]), jnp.asarray(dets["det_mask"]),
+                jnp.asarray(calib["P2"]), jnp.asarray(calib["R0"]),
+                jnp.asarray(calib["V2C"]),
+            )
+        else:
+            dets = detector2d.infer(data.get("camera_paths", []))
+            out = seeker.propose(
+                jnp.asarray(pts), jnp.asarray(pmask),
+                jnp.asarray(dets["det_boxes"]), jnp.asarray(dets["det_labels"]),
+                jnp.asarray(dets["det_scores"]), jnp.asarray(dets["det_cams"]),
+                jnp.asarray(dets["det_mask"]),
+                jnp.asarray(data["lidar2image"], jnp.float32),
+                jnp.asarray(data["camera2lidar"], jnp.float32),
+                jnp.asarray(data["camera_intrinsics"], jnp.float32),
+            )
         valid = np.asarray(out.valid)
         store.save(
             data["frame_id"],
