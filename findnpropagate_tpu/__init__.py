@@ -9,3 +9,18 @@ implemented as vectorized XLA programs with Pallas variants for the hot path.
 """
 
 __version__ = "0.1.0"
+
+# Honor the documented JAX_PLATFORMS env semantics: the axon TPU plugin
+# overrides the env var during backend discovery, so requesting `cpu` via
+# the environment silently lands on the TPU relay. Applying the value to
+# the config flag (the one knob the plugin respects) restores the contract
+# for the tools/ CLIs and tests.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # already initialized with a backend — leave it
+        pass

@@ -171,15 +171,22 @@ class _SparseStack(nn.Module):
 
     def _win_conv(self, src_ids, src_feats, tgt_ids, w, deltas, block,
                   window, prec, sent, train):
-        """Dispatch one windowed conv: fused Pallas kernel on the inference
-        path when SUBM_IMPL == 'pallas' (bf16 MXU; gradients are not defined
-        through the kernel), XLA windowed_conv otherwise."""
+        """Dispatch one windowed conv when SUBM_IMPL == 'pallas': the fused
+        Pallas kernel on the inference path, and the differentiable wrapper
+        (Pallas fwd + transposed-Pallas d_feats + XLA windowed dW) when
+        training — XLA windowed_conv otherwise."""
         impl = str(self.model_cfg.get("SUBM_IMPL", "xla")).lower()
-        if impl == "pallas" and not train:
-            from ...ops.pallas_sparse import windowed_conv_pallas
-
+        if impl == "pallas":
             cd = jnp.float32 if prec is not None else jnp.bfloat16
-            return windowed_conv_pallas(
+            if not train:
+                from ...ops.pallas_sparse import windowed_conv_pallas
+
+                return windowed_conv_pallas(
+                    src_ids, src_feats, tgt_ids, w, deltas, block=block,
+                    window=window, sentinel_start=sent, compute_dtype=cd)
+            from ...ops.pallas_sparse import windowed_conv_pallas_diff
+
+            return windowed_conv_pallas_diff(
                 src_ids, src_feats, tgt_ids, w, deltas, block=block,
                 window=window, sentinel_start=sent, compute_dtype=cd)
         return windowed_conv(

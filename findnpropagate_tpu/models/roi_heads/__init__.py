@@ -1,9 +1,11 @@
 from .pointrcnn_head import PointRCNNHead  # noqa: F401
 from .pvrcnn_head import PVRCNNHead  # noqa: F401
 from .second_head import SECONDHead  # noqa: F401
+from .voxelrcnn_head import VoxelRCNNHead  # noqa: F401
 
 ROI_HEAD_REGISTRY = {
     "SECONDHead": SECONDHead,
     "PVRCNNHead": PVRCNNHead,
     "PointRCNNHead": PointRCNNHead,
+    "VoxelRCNNHead": VoxelRCNNHead,
 }

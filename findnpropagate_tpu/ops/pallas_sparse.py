@@ -15,8 +15,12 @@ whole conv per target block:
 
 All HBM operands are kept 2-D with the sliced axis LAST (lane dim), window
 starts/sizes aligned to 512 — the layouts Mosaic handles natively.
-Gradients route through the XLA windowed_conv (identical semantics) when
-training; this kernel is the inference path.
+
+Training: `windowed_conv_pallas_diff` wraps the kernel in a custom VJP —
+d_feats is the TRANSPOSED windowed conv (same Pallas kernel with swapped
+id lists, negated deltas and (Cout, Cin) weights), and dW is a per-tap
+windowed gather + (C, Vt) x (Vt, Cout) matmul in XLA. Both directions run
+the same slice-DMA + MXU pattern as the forward.
 """
 
 from __future__ import annotations
@@ -84,8 +88,9 @@ def _fused_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, deltas_ref, w_ref,
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "window"))
-def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window):
+@functools.partial(jax.jit, static_argnames=("block", "window", "interpret"))
+def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window,
+                interpret=False):
     """ids2 (1, V), feats_t (C, V), tgt2 (NB, block), lo (NB,), deltas (K,),
     w_flat (Cout, K*C) -> out (Vt, Cout) f32."""
     nb = tgt2.shape[0]
@@ -126,13 +131,132 @@ def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window):
         functools.partial(_fused_kernel, precision=prec),
         out_shape=jax.ShapeDtypeStruct((cout, vt), jnp.float32),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(lo, tgt2.reshape(1, -1), ids2, feats_t, deltas[:, None], w_flat)
     return out_t.T
 
 
+def windowed_overflow(src_ids, tgt_ids, deltas, block, window,
+                      sentinel_start=None):
+    """Union-window exactness check (shared by the fwd/bwd directions):
+    counts target blocks whose true neighbor span exceeds `window`."""
+    vs = src_ids.shape[0]
+    vt = tgt_ids.shape[0]
+    nb = vt // block
+    window = min(window, vs)
+    d_min = jnp.min(deltas)
+    d_max = jnp.max(deltas)
+    lo = jnp.searchsorted(src_ids, tgt_ids[::block] + d_min)
+    lo = jnp.minimum((lo // ALIGN) * ALIGN,
+                     max(((vs - window) // ALIGN) * ALIGN, 0))
+    if sentinel_start is not None:
+        tgt_b = tgt_ids.reshape(nb, block)
+        real_b = tgt_b < sentinel_start
+        block_last = jnp.max(
+            jnp.where(real_b, tgt_b, jnp.iinfo(jnp.int32).min), axis=1)
+        has_real = jnp.any(real_b, axis=1)
+    else:
+        block_last = tgt_ids[block - 1::block]
+        has_real = jnp.ones((nb,), bool)
+    hi = jnp.searchsorted(src_ids, block_last + d_max, side="right")
+    return jnp.sum(((hi - lo) > window) & has_real)
+
+
+def _windowed_dw(src_ids, src_feats, tgt_ids, g, deltas, block, window,
+                 compute_dtype):
+    """dW[k] = gathered_k(src->tgt)^T @ g — XLA windowed gather per tap.
+
+    src_ids (Vs,) ascending, src_feats (Vs, Cin), tgt_ids (Vt,), g (Vt,
+    Cout). Returns (K, Cin, Cout) f32."""
+    vs, cin = src_feats.shape
+    vt = tgt_ids.shape[0]
+    nb = vt // block
+    window = min(window, vs)
+    feats = src_feats.astype(compute_dtype)
+    gc = g.astype(compute_dtype)
+
+    lo = jnp.searchsorted(
+        src_ids, (tgt_ids[::block][:, None] + deltas[None, :]).reshape(-1)
+    ).reshape(nb, -1)
+    lo = jnp.minimum(lo, vs - window).astype(jnp.int32)
+    tgt_b = tgt_ids.reshape(nb, block)
+
+    def tap(_, inputs):
+        lo_k, d_k = inputs
+        win_f = jax.vmap(
+            lambda l: jax.lax.dynamic_slice(feats, (l, 0), (window, cin))
+        )(lo_k)
+        win_i = jax.vmap(
+            lambda l: jax.lax.dynamic_slice(src_ids, (l,), (window,))
+        )(lo_k)
+        want = tgt_b + d_k
+        onehot = (win_i[:, None, :] == want[:, :, None]).astype(feats.dtype)
+        gath = jnp.einsum("nws,nsc->nwc", onehot, win_f)  # (NB, W, Cin)
+        dw_k = jnp.dot(gath.reshape(vt, cin).T, gc,
+                       preferred_element_type=jnp.float32)
+        return None, dw_k
+
+    _, dw = jax.lax.scan(tap, None, (lo.T, deltas))
+    return dw  # (K, Cin, Cout) f32
+
+
+def windowed_conv_pallas_diff(src_ids, src_feats, tgt_ids, weights, deltas,
+                              block: int = 512, window: int = 1536,
+                              sentinel_start=None,
+                              compute_dtype=jnp.bfloat16, interpret=False):
+    """Differentiable fused windowed conv: Pallas forward AND Pallas
+    transposed backward for d_feats; dW via the XLA windowed gather.
+
+    Same contract as windowed_conv_pallas minus the overflow scalar (use
+    `windowed_overflow` for the runtime exactness check — it only needs the
+    id lists, so callers evaluate it once outside the grad)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+    def core(blk, win, cd, s_ids, t_ids, dl, feats, w):
+        out, _ = windowed_conv_pallas(
+            s_ids, feats, t_ids, w, dl, block=blk, window=win,
+            sentinel_start=None, compute_dtype=cd, interpret=interpret)
+        return out
+
+    def fwd(blk, win, cd, s_ids, t_ids, dl, feats, w):
+        return core(blk, win, cd, s_ids, t_ids, dl, feats, w), \
+            (s_ids, t_ids, dl, feats, w)
+
+    def bwd(blk, win, cd, res, g):
+        import numpy as np
+        from jax import dtypes
+
+        s_ids, t_ids, dl, feats, w = res
+        w_t = jnp.transpose(w, (0, 2, 1))          # (K, Cout, Cin)
+        d_feats, _ = windowed_conv_pallas(
+            t_ids, g.astype(feats.dtype), s_ids, w_t, -dl, block=blk,
+            window=win, sentinel_start=None, compute_dtype=cd,
+            interpret=interpret)
+        d_w = _windowed_dw(s_ids, feats, t_ids, g, dl, blk, win, cd)
+        zero_i = lambda x: np.zeros(x.shape, dtypes.float0)
+        return (zero_i(s_ids), zero_i(t_ids), zero_i(dl),
+                d_feats.astype(feats.dtype), d_w.astype(w.dtype))
+
+    core.defvjp(fwd, bwd)
+    # pad the src/tgt axes consistently with the kernel's internal layout:
+    # the kernel pads src internally, but the TRANSPOSED call needs the src
+    # list to be a block multiple too — callers guarantee both lists are
+    # block multiples (backbone invariant).
+    assert src_ids.shape[0] % block == 0, "pad Vs to a block multiple"
+    assert tgt_ids.shape[0] % block == 0, "pad Vt to a block multiple"
+    out = core(block, window, compute_dtype, src_ids, tgt_ids, deltas,
+               src_feats, weights)
+    ovf = windowed_overflow(src_ids, tgt_ids, deltas, block, window,
+                            sentinel_start=sentinel_start)
+    ovf = ovf + windowed_overflow(tgt_ids, src_ids, -deltas, block, window,
+                                  sentinel_start=sentinel_start)
+    return out, ovf
+
+
 def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
                          block: int = 512, window: int = 1536,
-                         sentinel_start=None, compute_dtype=jnp.bfloat16):
+                         sentinel_start=None, compute_dtype=jnp.bfloat16,
+                         interpret=False):
     """Drop-in fused variant of sparse_ops.windowed_conv (same contract,
     same (out, overflow) return). One UNION window per target block covers
     all taps; window starts/sizes are 512-aligned for the DMA engine."""
@@ -197,5 +321,6 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
     w_flat = jnp.transpose(weights, (2, 0, 1)).reshape(cout_p, k * cin_p)
     w_flat = w_flat.astype(compute_dtype)
     out = _fused_call(src_ids[None, :], feats_t, tgt_ids.reshape(nb, block),
-                      lo, deltas, w_flat, block, window)
+                      lo, deltas, w_flat, block, window,
+                      interpret=interpret)
     return out[:, :cout].astype(src_feats.dtype), overflow

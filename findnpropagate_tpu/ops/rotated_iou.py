@@ -52,17 +52,25 @@ def _pair_intersection_area(corners_a, corners_b):
     # --- corners of one box inside the other ---
     def _inside(pts, quad):
         # Half-plane test against each edge with consistent winding. Use the
-        # sign of the quad's own orientation so either winding works.
+        # sign of the quad's own orientation so either winding works. The
+        # tolerance must be RELATIVE to the cross-product magnitude scale
+        # (|e|*|v|): at world coordinates ~50 m the f32 rounding noise of an
+        # exactly-on-edge point is ~1e-5, far above any absolute epsilon —
+        # identical boxes would otherwise produce zero candidates and a
+        # self-IoU of 0 at unlucky yaws.
         q0 = quad
         q1 = jnp.roll(quad, -1, axis=0)
         e = q1 - q0  # (4, 2)
         v = pts[:, None, :] - q0[None, :, :]  # (P, 4, 2)
         crossz = e[None, :, 0] * v[..., 1] - e[None, :, 1] * v[..., 0]  # (P, 4)
+        scale = jnp.linalg.norm(e, axis=-1)[None, :] * \
+            jnp.linalg.norm(v, axis=-1)  # (P, 4)
+        eps = 1e-5 * (scale + 1.0)
         orient = jnp.sum(
             q0[:, 0] * q1[:, 1] - q1[:, 0] * q0[:, 1]
         )  # 2x signed area; sign = winding
         s = jnp.sign(orient)
-        return jnp.all(crossz * s >= -_EPS, axis=-1)
+        return jnp.all(crossz * s >= -eps, axis=-1)
 
     a_in_b = _inside(corners_a, corners_b)  # (4,)
     b_in_a = _inside(corners_b, corners_a)  # (4,)
