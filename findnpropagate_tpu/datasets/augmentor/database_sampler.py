@@ -106,6 +106,30 @@ class DataBaseSampler:
 
         if new_boxes:
             new_boxes = np.stack(new_boxes)
+            if self.cfg.get("USE_ROAD_PLANE", False) \
+                    and data_dict.get("road_plane") is not None \
+                    and data_dict.get("calib") is not None:
+                # put sampled boxes on the KITTI road plane
+                # (database_sampler.py:152-169 + :284-287): solve the plane
+                # height at each box center in the rect frame and shift box
+                # AND its points down by the gap
+                from ...utils.calibration_kitti import Calibration
+
+                calib = data_dict["calib"]
+                if isinstance(calib, dict):
+                    calib = Calibration({"P2": calib["P2"],
+                                         "R0": calib["R0"],
+                                         "Tr_velo2cam": calib["V2C"]})
+                a, b_, c, d = data_dict["road_plane"]
+                center_cam = calib.lidar_to_rect(new_boxes[:, 0:3])
+                h_cam = (-d - a * center_cam[:, 0]
+                         - c * center_cam[:, 2]) / b_
+                center_cam[:, 1] = h_cam
+                lidar_h = calib.rect_to_lidar(center_cam)[:, 2]
+                mv = new_boxes[:, 2] - new_boxes[:, 5] / 2 - lidar_h
+                new_boxes[:, 2] -= mv
+                for i, p in enumerate(new_points):
+                    p[:, 2] -= mv[i]
             # remove original points inside pasted boxes (occlusion)
             inside = G.points_in_boxes_mask(points[:, :3], new_boxes)
             points = points[~inside.any(axis=0)]

@@ -35,7 +35,9 @@ class DatasetTemplate:
         )
         self.data_augmentor = (
             DataAugmentor(
-                dataset_cfg.get("DATA_AUGMENTOR"), self.class_names, logger=logger
+                dataset_cfg.get("DATA_AUGMENTOR"), self.class_names,
+                root_path=root_path or dataset_cfg.get("DATA_PATH"),
+                logger=logger,
             )
             if training and dataset_cfg.get("DATA_AUGMENTOR")
             else None

@@ -59,6 +59,15 @@ class KittiDataset(DatasetTemplate):
                 "R0": np.asarray(info["calib"]["R0_rect"], np.float32),
                 "V2C": np.asarray(info["calib"]["Tr_velo_to_cam"], np.float32),
             }
+        plane_file = self.root / "training" / "planes" / f"{sample_idx}.txt"
+        if plane_file.exists():
+            # KITTI road plane (kitti_dataset.get_road_plane): line 4 holds
+            # [a, b, c, d]; normalize and flip so b > 0
+            lines = plane_file.read_text().splitlines()
+            plane = np.asarray(lines[3].split(), np.float32)
+            if plane[1] > 0:
+                plane = -plane
+            data_dict["road_plane"] = plane / np.linalg.norm(plane[:3])
         if "annos" in info:
             annos = info["annos"]
             mask = annos["name"] != "DontCare"

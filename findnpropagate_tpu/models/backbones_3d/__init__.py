@@ -1,10 +1,12 @@
 from .pointnet2_backbone import PointNet2MSG
 from .spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
 from .spconv_backbone_voxelnext import VoxelResBackBone8xVoxelNeXt
+from .spconv_unet import UNetV2
 
 BACKBONE_3D_REGISTRY = {
     "VoxelResBackBone8x": VoxelResBackBone8x,
     "VoxelBackBone8x": VoxelBackBone8x,
     "VoxelResBackBone8xVoxelNeXt": VoxelResBackBone8xVoxelNeXt,
     "PointNet2MSG": PointNet2MSG,
+    "UNetV2": UNetV2,
 }

@@ -86,6 +86,8 @@ class _SparseStack(nn.Module):
     input_channels: int
     grid_size: tuple          # (nx, ny, nz) from voxelization
     residual: bool = True
+    voxel_size: tuple = ()            # optional (UNetV2 point coords)
+    point_cloud_range: tuple = ()
 
     def setup(self):
         nx, ny, nz = (int(g) for g in self.grid_size)

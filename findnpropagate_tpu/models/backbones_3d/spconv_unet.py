@@ -1,0 +1,211 @@
+"""UNetV2 — sparse-conv U-Net for point-wise features (Part-A2 backbone).
+
+Behavioral parity with pcdet/models/backbones_3d/spconv_unet.py:49-215
+(/root/reference): the 8x encoder (conv1..conv4 + stride-z conv_out for the
+detection BEV path) plus a decoder of UR blocks — lateral SparseBasicBlock,
+channel concat with the bottom-up features, submanifold merge conv,
+channel_reduction residual, and a sparse INVERSE conv back onto the previous
+level's active set — ending in per-voxel features on the full-resolution
+active set (point_features at voxel centers).
+
+TPU design: windowed pipeline only; every level's active set is the fixed
+sorted list the encoder produced, so the decoder's inverse convs scatter
+back via ops/sparse_ops.win_inverse_conv (per-tap integer-divided id match)
+with zero re-hashing.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.sparse_ops import win_inverse_conv
+from .spconv_backbone import (
+    MaskedBatchNorm,
+    SparseConvParam,
+    _SparseStack,
+    conv_out_dim,
+)
+
+
+class UNetV2(_SparseStack):
+    residual: bool = False
+
+    def setup(self):
+        nx, ny, nz = (int(g) for g in self.grid_size)
+        self.sparse_shape = (nz + 1, ny, nx)
+        cfg = self.model_cfg
+        chans = [int(c) for c in cfg.get("CHANNELS", [16, 32, 64, 64])]
+        self.chans = chans
+        self.out_channels = int(cfg.get("OUT_CHANNEL", 128))
+        caps = cfg.get("LEVEL_CAPACITIES", None)
+        c0 = int(cfg.get("MAX_VOXELS", 60000))
+        if caps is None:
+            caps = [c0, c0, c0 // 2, c0 // 4, c0 // 8]
+        self.caps = [int(c) for c in caps]
+
+        s1 = self.sparse_shape
+        s2 = tuple(conv_out_dim(n, 3, 2, 1) for n in s1)
+        s3 = tuple(conv_out_dim(n, 3, 2, 1) for n in s2)
+        s4 = (conv_out_dim(s3[0], 3, 2, 0), conv_out_dim(s3[1], 3, 2, 1),
+              conv_out_dim(s3[2], 3, 2, 1))
+        s_out = (conv_out_dim(s4[0], 3, 2, 0), s4[1], s4[2])
+        self.level_shapes = [s1, s2, s3, s4, s_out]
+        self.stage_paddings = [None, (1, 1, 1), (1, 1, 1), (0, 1, 1)]
+
+        c1, c2, c3, c4 = chans
+        self.w_input = SparseConvParam(self.input_channels, c1)
+        self.bn_input = MaskedBatchNorm(c1)
+        self.enc1 = [(SparseConvParam(c1, c1), MaskedBatchNorm(c1))]
+        self.down2 = (SparseConvParam(c1, c2), MaskedBatchNorm(c2))
+        self.enc2 = [(SparseConvParam(c2, c2), MaskedBatchNorm(c2))
+                     for _ in range(2)]
+        self.down3 = (SparseConvParam(c2, c3), MaskedBatchNorm(c3))
+        self.enc3 = [(SparseConvParam(c3, c3), MaskedBatchNorm(c3))
+                     for _ in range(2)]
+        self.down4 = (SparseConvParam(c3, c4), MaskedBatchNorm(c4))
+        self.enc4 = [(SparseConvParam(c4, c4), MaskedBatchNorm(c4))
+                     for _ in range(2)]
+        self.w_out = SparseConvParam(c4, self.out_channels, kernel=(3, 1, 1))
+        self.bn_out = MaskedBatchNorm(self.out_channels)
+
+        # decoder params: per level L in (4, 3, 2, 1)
+        dec = {}
+        lat = {4: c4, 3: c3, 2: c2, 1: c1}
+        # inverse conv L emits level-(L-1) channels (spconv_unet.py:116-123:
+        # inv4 64->64(c3), inv3 64->32(c2), inv2 32->16(c1)), so the
+        # bottom-up input at level L matches the lateral channel count
+        bot = {4: c4, 3: c3, 2: c2, 1: c1}
+        inv_out = {4: c3, 3: c2, 2: c1}
+        for L in (4, 3, 2, 1):
+            cl = lat[L]
+            dec[f"t{L}_conv1"] = SparseConvParam(cl, cl)
+            dec[f"t{L}_bn1"] = MaskedBatchNorm(cl)
+            dec[f"t{L}_conv2"] = SparseConvParam(cl, cl)
+            dec[f"t{L}_bn2"] = MaskedBatchNorm(cl)
+            dec[f"m{L}_conv"] = SparseConvParam(bot[L] + cl, cl)
+            dec[f"m{L}_bn"] = MaskedBatchNorm(cl)
+            if L > 1:
+                dec[f"inv{L}_conv"] = SparseConvParam(cl, inv_out[L])
+                dec[f"inv{L}_bn"] = MaskedBatchNorm(inv_out[L])
+            else:
+                dec["conv5"] = SparseConvParam(cl, cl)
+                dec["conv5_bn"] = MaskedBatchNorm(cl)
+        self.dec = dec
+        self.num_point_features = lat[1]
+
+    @property
+    def num_bev_features(self):
+        return self.out_channels
+
+    def _basic_block(self, level, c1m, b1m, c2m, b2m, train, ovf):
+        """SparseBasicBlock (spconv_unet.py:11-46): conv-bn-relu-conv-bn +
+        identity, relu."""
+        _, (ids, coords, valid, feats), shape = level
+        identity = feats
+        level = self._subm(level, c1m, b1m, train, ovf)
+        level = self._subm(level, c2m, b2m, train, ovf, relu=False)
+        ids, coords, valid, feats = level[1]
+        out = nn.relu(feats + identity)
+        out = jnp.where(valid[..., None], out, 0.0)
+        return ("win", (ids, coords, valid, out), level[2])
+
+    def __call__(self, batch, train: bool):
+        cfg = self.model_cfg
+        assert str(cfg.get("SUBM_MODE", "windowed")) == "windowed", \
+            "UNetV2 runs on the windowed sparse pipeline only"
+        feats = batch["voxel_features"]
+        coords = batch["voxel_coords"]
+        valid = batch["voxel_mask"]
+        s = self.level_shapes
+        ovf = []
+
+        level = self._win_entry(coords, valid, feats, s[0], ovf)
+        level = self._subm(level, self.w_input, self.bn_input, train, ovf)
+        for wm, bm in self.enc1:
+            level = self._subm(level, wm, bm, train, ovf)
+        lvl1 = level
+        levels = {1: level}
+        downs = {2: self.down2, 3: self.down3, 4: self.down4}
+        encs = {2: self.enc2, 3: self.enc3, 4: self.enc4}
+        for L in (2, 3, 4):
+            level = self._down(level, downs[L][0], downs[L][1], train,
+                               s[L - 1], self.caps[min(L, len(self.caps) - 1)],
+                               ovf, padding=self.stage_paddings[L - 1])
+            for wm, bm in encs[L]:
+                level = self._subm(level, wm, bm, train, ovf)
+            levels[L] = level
+
+        # detection path: conv_out -> dense for HeightCompression
+        out_level = self._down(level, self.w_out, self.bn_out, train, s[4],
+                               self.caps[4], ovf, kernel=(3, 1, 1),
+                               stride=(2, 1, 1), padding=(0, 0, 0),
+                               dense_out=True)
+        batch["encoded_spconv_tensor"] = out_level[1]
+        batch["encoded_spconv_tensor_stride"] = 8
+
+        # decoder
+        dec = self.dec
+        block, window, swindow, prec = self._win_cfg()
+        strides = {2: (2, 2, 2), 3: (2, 2, 2), 4: (2, 2, 2)}
+        x_bottom = levels[4]
+        for L in (4, 3, 2, 1):
+            lateral = levels[L]
+            x_trans = self._basic_block(
+                lateral, dec[f"t{L}_conv1"], dec[f"t{L}_bn1"],
+                dec[f"t{L}_conv2"], dec[f"t{L}_bn2"], train, ovf)
+            ids, coordsL, validL, tr_f = x_trans[1]
+            bot_f = x_bottom[1][3]
+            cat = jnp.concatenate([bot_f, tr_f], axis=-1)
+            level_cat = ("win", (ids, coordsL, validL, cat), x_trans[2])
+            x_m = self._subm(level_cat, dec[f"m{L}_conv"], dec[f"m{L}_bn"],
+                             train, ovf)
+            xm_f = x_m[1][3]
+            c_out = xm_f.shape[-1]
+            # channel_reduction (spconv_unet.py:144-159): (N, C, k) sum
+            red = cat.reshape(cat.shape[:-1] + (c_out, -1)).sum(-1)
+            merged = xm_f + red
+            merged = jnp.where(validL[..., None], merged, 0.0)
+            if L > 1:
+                # inverse conv onto level L-1's active set
+                w, _ = dec[f"inv{L}_conv"]()
+                fine = levels[L - 1]
+                f_ids, f_coords, f_valid, _ = fine[1]
+                out, ov = jax.vmap(
+                    lambda ci, cf, fc, fv: win_inverse_conv(
+                        ci, cf, fc, fv, x_trans[2], fine[2], w,
+                        stride=strides[L], padding=self.stage_paddings[L - 1],
+                        block=block, window=window, precision=prec)
+                )(ids, merged, f_coords, f_valid)
+                ovf.append(jnp.sum(ov))
+                out = nn.relu(dec[f"inv{L}_bn"](out, f_valid, train))
+                out = jnp.where(f_valid[..., None], out, 0.0)
+                x_bottom = ("win", (f_ids, f_coords, f_valid, out), fine[2])
+            else:
+                final = ("win", (ids, coordsL, validL, merged), x_trans[2])
+                final = self._subm(final, dec["conv5"], dec["conv5_bn"],
+                                   train, ovf)
+                x_bottom = final
+
+        f_ids, f_coords, f_valid, f_feats = x_bottom[1]
+        batch["point_features"] = f_feats            # (B, V, C)
+        # voxel centers at stride 1 (common_utils.get_voxel_centers)
+        vs = self.voxel_size
+        pcr = self.point_cloud_range
+        centers = jnp.stack([
+            (f_coords[..., 2].astype(jnp.float32) + 0.5) * vs[0] + pcr[0],
+            (f_coords[..., 1].astype(jnp.float32) + 0.5) * vs[1] + pcr[1],
+            (f_coords[..., 0].astype(jnp.float32) + 0.5) * vs[2] + pcr[2],
+        ], axis=-1)
+        batch["point_coords"] = jnp.where(
+            f_valid[..., None], centers, 0.0)        # (B, V, 3)
+        batch["point_valid"] = f_valid
+        batch["multi_scale_3d_features"] = {
+            f"x_conv{L}": levels[L] for L in (1, 2, 3, 4)
+        }
+        if ovf:
+            batch["sparse_window_overflow"] = sum(ovf)
+        return batch

@@ -79,9 +79,10 @@ def _make_coder(cfg):
 
 
 def assign_point_targets(points, points_valid, gt_boxes_with_cls, coder,
-                         extra_width=(0.2, 0.2, 0.2)):
+                         extra_width=(0.2, 0.2, 0.2), binary=True):
     """Vmapped assign_stack_targets (point_head_template.py:49-131) with
-    set_ignore_flag: labels 1/0/-1 (fg / bg / ignore ring), box residual
+    set_ignore_flag: labels fg/0/-1 (fg is 1 when `binary`, else the
+    containing box's class — num_class > 1 semantics), box residual
     targets at fg points. points (B, P, 3)."""
     ew = tuple(float(e) for e in extra_width)
 
@@ -94,7 +95,8 @@ def assign_point_targets(points, points_valid, gt_boxes_with_cls, coder,
         ext = enlarge_box3d(boxes, ew)
         idx_ext = points_in_boxes_index(pts, ext, boxes_mask=gvalid)
         ignore = fg ^ ((idx_ext >= 0) & pvalid)
-        labels = jnp.where(fg, 1, 0)
+        fg_label = 1 if binary else gcls[jnp.clip(idx, 0)]
+        labels = jnp.where(fg, fg_label, 0)
         labels = jnp.where(ignore, -1, labels)
 
         safe = jnp.clip(idx, 0)
@@ -129,6 +131,109 @@ def point_head_box_loss(out_batch, model_cfg):
     pos_norm = jnp.sum(pos.astype(jnp.float32))
     cls_w = cls_w / jnp.clip(pos_norm, 1.0)
     onehot = pos.astype(jnp.float32)[..., None]  # (B, P, 1)
+    cls_loss = jnp.sum(
+        L.sigmoid_focal_loss(cls_preds, onehot, weights=cls_w)
+    ) * float(lw["point_cls_weight"])
+
+    code_w = jnp.asarray(
+        lw.get("code_weights", [1.0] * box_preds.shape[-1]), jnp.float32)
+    reg_w = pos.astype(jnp.float32) / jnp.clip(pos_norm, 1.0)
+    diff = L.smooth_l1(box_preds - box_targets, beta=1.0 / 9.0)
+    reg_loss = jnp.sum(
+        diff * code_w[None, None, :] * reg_w[..., None]
+    ) * float(lw["point_box_weight"])
+
+    total = cls_loss + reg_loss
+    return total, {"point_loss_cls": cls_loss, "point_loss_box": reg_loss,
+                   "point_pos_num": pos_norm}
+
+
+class PointHeadBoxWPseudos(nn.Module):
+    """Open-vocab PointRCNN-style stage-1 head
+    (pcdet/models/dense_heads/point_head_box_w_pseudo.py:7-271): the full
+    class space (num_class pinned to the ALL_CLASS_NAMES size), multi-class
+    point labels from the containing box, and training targets drawn from
+    KNOWN-class gt (relabeled into full label space) merged with the padded
+    seeker pseudo boxes the data pipeline supplies (`pseudo_boxes` — the
+    functional equivalent of the reference's per-frame .pth loads)."""
+
+    model_cfg: Any
+    input_channels: int
+    num_class: int = 10
+
+    @nn.compact
+    def __call__(self, batch, train: bool):
+        cfg = self.model_cfg
+        n_cls = len(cfg.get("ALL_CLASS_NAMES",
+                            [None] * self.num_class))
+        feats = batch["point_features"]
+        valid = batch["point_valid"]
+        coder = _make_coder(cfg)
+
+        cls_preds = _fc_stack("cls", cfg["CLS_FC"], n_cls, feats, valid,
+                              train)
+        box_preds = _fc_stack("reg", cfg["REG_FC"], coder.code_size, feats,
+                              valid, train)
+        batch["point_cls_preds"] = cls_preds
+        batch["point_box_preds_enc"] = box_preds
+        batch["point_cls_scores"] = jax.nn.sigmoid(
+            jnp.max(cls_preds, axis=-1))
+        pred_classes = jnp.argmax(cls_preds, axis=-1) + 1
+        decoded = coder.decode(box_preds, batch["point_coords"],
+                               pred_classes)
+        batch["batch_cls_preds"] = jnp.where(
+            valid[..., None], cls_preds, -1e9)
+        batch["batch_box_preds"] = decoded[..., :7]
+        batch["cls_preds_normalized"] = False
+        return batch
+
+
+def _relabel_known_to_full(gt_boxes, known_names, all_names):
+    """gt label i (1-indexed into KNOWN_CLASS_NAMES) -> full-space label
+    (point_head_box_w_pseudo.py:52-71)."""
+    import numpy as np
+
+    lut = np.zeros(len(known_names) + 1, np.int32)
+    for i, kn in enumerate(known_names):
+        lut[i + 1] = list(all_names).index(kn) + 1
+    labels = gt_boxes[..., -1].astype(jnp.int32)
+    new = jnp.asarray(lut)[jnp.clip(labels, 0, len(known_names))]
+    return jnp.concatenate(
+        [gt_boxes[..., :-1], new[..., None].astype(gt_boxes.dtype)], -1)
+
+
+def point_head_box_w_pseudo_loss(out_batch, model_cfg):
+    """Full-space multi-class point cls + box loss over gt (relabeled) +
+    pseudo boxes (point_head_box_w_pseudo.py:181-226)."""
+    cfg = model_cfg
+    coder = _make_coder(cfg)
+    all_names = list(cfg["ALL_CLASS_NAMES"])
+    known_names = list(cfg["KNOWN_CLASS_NAMES"])
+    n_cls = len(all_names)
+
+    gt = _relabel_known_to_full(out_batch["gt_boxes"], known_names,
+                                all_names)
+    if "pseudo_boxes" in out_batch:
+        pb = out_batch["pseudo_boxes"]
+        gt = jnp.concatenate([gt, pb[..., : gt.shape[-1]]], axis=1)
+
+    labels, box_targets = assign_point_targets(
+        out_batch["point_coords"], out_batch["point_valid"], gt, coder,
+        extra_width=tuple(cfg["TARGET_CONFIG"].get(
+            "GT_EXTRA_WIDTH", (0.2, 0.2, 0.2))),
+        binary=False,
+    )
+    cls_preds = out_batch["point_cls_preds"]     # (B, P, n_cls)
+    box_preds = out_batch["point_box_preds_enc"]
+    valid = out_batch["point_valid"]
+    lw = cfg["LOSS_CONFIG"]["LOSS_WEIGHTS"]
+
+    pos = (labels > 0) & valid
+    neg = (labels == 0) & valid
+    cls_w = (neg + 1.0 * pos).astype(jnp.float32)
+    pos_norm = jnp.sum(pos.astype(jnp.float32))
+    cls_w = cls_w / jnp.clip(pos_norm, 1.0)
+    onehot = jax.nn.one_hot(jnp.clip(labels, 0, n_cls), n_cls + 1)[..., 1:]
     cls_loss = jnp.sum(
         L.sigmoid_focal_loss(cls_preds, onehot, weights=cls_w)
     ) * float(lw["point_cls_weight"])

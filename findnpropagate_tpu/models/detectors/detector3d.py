@@ -65,10 +65,18 @@ class DetectorModule(nn.Module):
             bb3_cls = BACKBONE_3D_REGISTRY[cfg["BACKBONE_3D"]["NAME"]]
             bb3_in = self.vfe.output_dim if "VFE" in cfg \
                 else self.num_point_features  # point-based backbones
+            bb3_kw = {}
+            import dataclasses as _dc
+
+            field_names = {f.name for f in _dc.fields(bb3_cls)}
+            if "voxel_size" in field_names:
+                bb3_kw["voxel_size"] = tuple(self.voxel_size)
+                bb3_kw["point_cloud_range"] = tuple(self.point_cloud_range)
             self.backbone_3d = bb3_cls(
                 model_cfg=cfg["BACKBONE_3D"],
                 input_channels=bb3_in,
                 grid_size=tuple(self.grid_size),
+                **bb3_kw,
             )
             modules.append("backbone_3d")
         if "MAP_TO_BEV" in cfg:
@@ -121,6 +129,14 @@ class DetectorModule(nn.Module):
 
                 self.point_head = PointHeadBox(
                     model_cfg=cfg["POINT_HEAD"], input_channels=0)
+            elif ph_name == "PointIntraPartOffsetHead":
+                from ..dense_heads.point_intra_part_head import (
+                    PointIntraPartOffsetHead,
+                )
+
+                self.point_head = PointIntraPartOffsetHead(
+                    model_cfg=cfg["POINT_HEAD"], input_channels=0,
+                    num_class=self.num_class)
             else:
                 from ..dense_heads.point_head_simple import PointHeadSimple
 
@@ -341,6 +357,13 @@ def build_detector(model_cfg, num_class, dataset):
                         )
 
                         lp, tbp = point_head_box_loss(out_batch, point_cfg)
+                    elif point_head_name == "PointIntraPartOffsetHead":
+                        from ..dense_heads.point_intra_part_head import (
+                            point_part_head_loss,
+                        )
+
+                        lp, tbp = point_part_head_loss(
+                            out_batch, point_cfg, num_class)
                     else:
                         from ..dense_heads.point_head_simple import (
                             point_head_loss,

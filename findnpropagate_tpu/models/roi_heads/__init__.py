@@ -1,3 +1,4 @@
+from .parta2_head import PartA2FCHead  # noqa: F401
 from .pointrcnn_head import PointRCNNHead  # noqa: F401
 from .pvrcnn_head import PVRCNNHead  # noqa: F401
 from .second_head import SECONDHead  # noqa: F401
@@ -8,4 +9,5 @@ ROI_HEAD_REGISTRY = {
     "PVRCNNHead": PVRCNNHead,
     "PointRCNNHead": PointRCNNHead,
     "VoxelRCNNHead": VoxelRCNNHead,
+    "PartA2FCHead": PartA2FCHead,
 }

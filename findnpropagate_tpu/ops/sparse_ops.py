@@ -324,20 +324,26 @@ def windowed_conv(src_ids, src_feats, tgt_ids, weights, deltas,
     assert nb * block == vt, "pad Vt to a multiple of block"
     window = min(window, vs)
 
-    block_first = tgt_ids[::block]            # (NB,)
+    # per-block span via min/max (== first/last for sorted target lists,
+    # and also correct for UNSORTED targets like the inverse conv's
+    # integer-divided ids)
+    tgt_b_all = tgt_ids.reshape(nb, block)
     if sentinel_start is not None:
-        # sorted lists keep sentinels (invalid-slot padding) at the back, so
-        # within a block the real targets are a prefix; spans must be
-        # measured to the last REAL target or boundary blocks report
-        # false-positive overflows (sentinel ids live far above valid ids)
-        tgt_b_all = tgt_ids.reshape(nb, block)
+        # sentinels (invalid-slot padding) must not stretch the span or
+        # boundary blocks report false-positive overflows (sentinel ids
+        # live far above valid ids)
         real_b = tgt_b_all < sentinel_start
+        block_first = jnp.min(
+            jnp.where(real_b, tgt_b_all, jnp.iinfo(jnp.int32).max), axis=1
+        )
         block_last = jnp.max(
             jnp.where(real_b, tgt_b_all, jnp.iinfo(jnp.int32).min), axis=1
         )
         has_real = jnp.any(real_b, axis=1)
+        block_first = jnp.where(has_real, block_first, 0)
     else:
-        block_last = tgt_ids[block - 1::block]
+        block_first = jnp.min(tgt_b_all, axis=1)
+        block_last = jnp.max(tgt_b_all, axis=1)
         has_real = jnp.ones((nb,), bool)
     lo = jnp.searchsorted(
         src_ids, (block_first[:, None] + deltas[None, :]).reshape(-1)
@@ -496,6 +502,70 @@ def win_downsample(coords, valid, in_shape, out_shape, max_out: int,
     slot = jnp.arange(max_out, dtype=jnp.int32)
     out_ids = jnp.where(out_valid, out_ids, sentinel + slot)
     return out_ids.astype(jnp.int32), out_coords, out_valid
+
+
+def win_inverse_conv(coarse_ids, coarse_feats, fine_coords, fine_valid,
+                     in_shape, out_shape, weights, kernel_size=(3, 3, 3),
+                     stride=(2, 2, 2), padding=(1, 1, 1), block: int = 256,
+                     window: int = 512, precision=None):
+    """Sparse INVERSE (transposed) conv on the windowed pipeline
+    (spconv.SparseInverseConv3d semantics): output active set = the stored
+    fine-level set; out[f] = sum_t W_t^T-style contributions from the coarse
+    cell c with s*c + t - pad = f.
+
+    Single sample. coarse_ids: (Vc,) ascending yxz ids of the coarse level
+    (shape `in_shape` of the FORWARD strided conv's output, i.e. the coarse
+    grid); fine_coords/valid: (Vf, ...) the fine level's active set (sorted
+    by fine yxz id, Vf % block == 0); weights: (K, Cin_coarse, Cout).
+
+    Per tap, the fine target's coarse contributor id is an axis-wise integer
+    division — not a constant delta — so each tap runs its own windowed
+    match. Order is preserved under the division, and non-divisible targets
+    get ODD ids while real ids are doubled (even): monotone AND unmatchable.
+    Returns (out (Vf, Cout), overflow).
+    """
+    kz, ky, kx = kernel_size
+    sz, sy, sx = (int(s) for s in stride)
+    pz, py, px = padding
+    offs = _kernel_offsets(kernel_size)  # (K, 3) centered zyx
+    center = np.asarray([(k - 1) // 2 for k in kernel_size])
+    taps = offs + center[None, :]        # 0-indexed kernel positions
+    stride_x_c, stride_y_c = _yxz_strides(in_shape)
+    sentinel_c = yxz_sentinel_start(in_shape)
+
+    vf = fine_coords.shape[0]
+    cout = weights.shape[-1]
+    src2 = coarse_ids * 2                # even ids
+    out = jnp.zeros((vf, cout), jnp.promote_types(coarse_feats.dtype,
+                                                  jnp.float32))
+    ovf = jnp.zeros((), jnp.int32)
+    fz = fine_coords[:, 0]
+    fy = fine_coords[:, 1]
+    fx = fine_coords[:, 2]
+    nz_c, ny_c, nx_c = (int(s) for s in in_shape)
+    for t in range(taps.shape[0]):
+        tz, tyy, tx = (int(v) for v in taps[t])
+        az = fz + pz - tz
+        ay = fy + py - tyy
+        ax = fx + px - tx
+        cz_, cy_, cx_ = az // sz, ay // sy, ax // sx
+        ok = (
+            fine_valid
+            & (az % sz == 0) & (ay % sy == 0) & (ax % sx == 0)
+            & (cz_ >= 0) & (cz_ < nz_c) & (cy_ >= 0) & (cy_ < ny_c)
+            & (cx_ >= 0) & (cx_ < nx_c)
+        )
+        cid = cy_ * stride_y_c + (cx_ + 1) * stride_x_c + (cz_ + 1)
+        # even = real (matches doubled src ids); odd = invalid, order-safe
+        tgt = jnp.where(ok, cid * 2, jnp.clip(cid, 0) * 2 + 1)
+        o_t, ov = windowed_conv(
+            src2, coarse_feats, tgt.astype(jnp.int32), weights[t:t + 1],
+            jnp.zeros((1,), jnp.int32), block=block, window=window,
+            precision=precision, sentinel_start=sentinel_c * 2)
+        out = out + o_t
+        ovf = ovf + ov
+    out = jnp.where(fine_valid[:, None], out, 0.0)
+    return out.astype(coarse_feats.dtype), ovf
 
 
 def bev_merge(coords_list, valid_list, feats_list, scales, bev_shape,

@@ -181,7 +181,15 @@ def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
         t0 = time.time()
         data_meter = None
         for it, batch in enumerate(loader):
-            batch = shard_batch(mesh, batch) if mesh is not None else batch
+            if mesh is not None:
+                if jax.process_count() > 1:
+                    # multi-host: assemble one global array from each
+                    # process's local shard (parallel/mesh.py)
+                    from ..parallel.mesh import make_global_batch
+
+                    batch = make_global_batch(mesh, batch)
+                else:
+                    batch = shard_batch(mesh, batch)
             batch.pop("frame_id", None)
             batch.pop("batch_size", None)
             state, metrics = train_step(state, batch)

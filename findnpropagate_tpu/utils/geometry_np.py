@@ -81,6 +81,20 @@ def mask_boxes_outside_range(boxes, limit_range):
     )
 
 
+def boxes_to_corners_3d(boxes):
+    """(N, 7) -> (N, 8, 3) in the shared corner-template order
+    (box_utils.boxes_to_corners_3d)."""
+    template = np.array([
+        [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+        [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+    ], np.float32) / 2
+    c = template[None] * boxes[:, None, 3:6]
+    cos, sin = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
+    x = c[..., 0] * cos[:, None] - c[..., 1] * sin[:, None]
+    y = c[..., 0] * sin[:, None] + c[..., 1] * cos[:, None]
+    return np.stack([x, y, c[..., 2]], -1) + boxes[:, None, :3]
+
+
 def boxes_to_corners_bev(boxes):
     """(N, 7) -> (N, 4, 2)."""
     h = boxes[:, 3] / 2

@@ -1,6 +1,6 @@
-"""VoxelRCNN end-to-end: anchor proposals + ROI grid pooling from the
-multi-scale sparse voxel levels + cls/reg towers. Loss descends; two-stage
-post-processing produces detections."""
+"""Part-A2 end-to-end: UNetV2 encoder/decoder (windowed inverse convs),
+intra-part point head targets, ROI-aware part aggregation head. Loss
+descends; two-stage post-processing produces detections."""
 
 import copy
 
@@ -15,32 +15,16 @@ from findnpropagate_tpu.datasets import build_dataloader
 from findnpropagate_tpu.models import build_network
 from findnpropagate_tpu.runtime.optimization import build_optimizer
 from findnpropagate_tpu.runtime.trainer import create_train_state, make_train_step
+from test_voxelrcnn_e2e import DATA_CFG
 
-DATA_CFG = EDict({
-    "DATASET": "SyntheticDataset",
-    "POINT_CLOUD_RANGE": [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0],
-    "SYNTHETIC": {"NUM_SCENES": 8, "NUM_OBJECTS": 6, "NUM_RAW_POINTS": 4000},
-    "CAPACITIES": {"MAX_POINTS": 6000, "MAX_GT": 16, "MAX_VOXELS": 4096,
-                   "MAX_POINTS_PER_VOXEL": 8},
-    "POINT_FEATURE_ENCODING": {
-        "encoding_type": "absolute_coordinates_encoding",
-        "used_feature_list": ["x", "y", "z", "intensity"],
-        "src_feature_list": ["x", "y", "z", "intensity"],
-    },
-    "DATA_PROCESSOR": [
-        {"NAME": "mask_points_and_boxes_outside_range", "REMOVE_OUTSIDE_BOXES": True},
-        {"NAME": "shuffle_points", "SHUFFLE_ENABLED": {"train": True, "test": False}},
-        {"NAME": "transform_points_to_voxels", "VOXEL_SIZE": [0.2, 0.2, 0.1]},
-    ],
-})
 MODEL_CFG = EDict({
-    "NAME": "VoxelRCNN",
+    "NAME": "PartA2Net",
     "VFE": {"NAME": "MeanVFE"},
-    "BACKBONE_3D": {"NAME": "VoxelBackBone8x",
-                    "CHANNELS": [4, 8, 8, 16, 16], "OUT_CHANNELS": 16,
-                    "SUBM_MODE": "windowed", "DENSE_FROM_LEVEL": 99,
+    "BACKBONE_3D": {"NAME": "UNetV2",
+                    "CHANNELS": [8, 16, 16, 16], "OUT_CHANNEL": 32,
+                    "SUBM_MODE": "windowed",
                     "WINDOWED_BLOCK": 128, "WINDOWED_WINDOW": 512},
-    "MAP_TO_BEV": {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 32},
+    "MAP_TO_BEV": {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 64},
     "BACKBONE_2D": {"NAME": "BaseBEVBackbone", "LAYER_NUMS": [2],
                     "LAYER_STRIDES": [1], "NUM_FILTERS": [32],
                     "UPSAMPLE_STRIDES": [1], "NUM_UPSAMPLE_FILTERS": [32]},
@@ -67,25 +51,23 @@ MODEL_CFG = EDict({
             "cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
             "code_weights": [1.0] * 7}},
     },
+    "POINT_HEAD": {
+        "NAME": "PointIntraPartOffsetHead",
+        "CLS_FC": [], "PART_FC": [],
+        "TARGET_CONFIG": {"GT_EXTRA_WIDTH": [0.2, 0.2, 0.2]},
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {"point_cls_weight": 1.0,
+                                         "point_part_weight": 1.0}},
+    },
     "ROI_HEAD": {
-        "NAME": "VoxelRCNNHead",
+        "NAME": "PartA2FCHead",
         "CLASS_AGNOSTIC": True,
         "SHARED_FC": [32, 32],
         "CLS_FC": [32],
         "REG_FC": [32],
         "DP_RATIO": 0.0,
-        "ROI_GRID_POOL": {
-            "FEATURES_SOURCE": ["x_conv3", "x_conv4"],
-            "GRID_SIZE": 4,
-            "POOL_LAYERS": {
-                "x_conv3": {"MLPS": [[16, 16]], "POOL_RADIUS": [1.2],
-                            "NSAMPLE": [8], "POOL_METHOD": "max_pool",
-                            "QUERY_RANGES": [[4, 4, 4]]},
-                "x_conv4": {"MLPS": [[16, 16]], "POOL_RADIUS": [2.4],
-                            "NSAMPLE": [8], "POOL_METHOD": "max_pool",
-                            "QUERY_RANGES": [[4, 4, 4]]},
-            },
-        },
+        "SEG_MASK_SCORE_THRESH": 0.0,
+        "ROI_AWARE_POOL": {"POOL_SIZE": 4, "NUM_FEATURES": 32,
+                           "MAX_POINTS_PER_VOXEL": 128},
         "NMS_CONFIG": {
             "TRAIN": {"NMS_PRE_MAXSIZE": 512, "NMS_POST_MAXSIZE": 64,
                       "NMS_THRESH": 0.8},
@@ -131,11 +113,35 @@ def setup():
     return ds, det, batch, variables
 
 
-def test_forward_and_decode(setup):
+def test_part_targets():
+    """Canonical part locations: box center -> 0.5^3; +x front corner ->
+    part_x near 1."""
+    import jax.numpy as jnp
+
+    from findnpropagate_tpu.models.dense_heads.point_intra_part_head import (
+        assign_part_targets,
+    )
+
+    gt = np.zeros((1, 1, 8), np.float32)
+    gt[0, 0] = [10, 0, 0, 4, 2, 1.5, np.pi / 2, 1]  # rotated 90deg
+    pts = np.array([[[10.0, 0.0, 0.0],
+                     [10.0, 1.9, 0.0],     # along rotated +x axis (length)
+                     [0.0, 0.0, 0.0]]], np.float32)
+    labels, part = assign_part_targets(
+        jnp.asarray(pts), jnp.ones((1, 3), bool), jnp.asarray(gt))
+    labels = np.asarray(labels)
+    part = np.asarray(part)
+    assert labels[0, 0] == 1 and labels[0, 2] == 0
+    np.testing.assert_allclose(part[0, 0], [0.5, 0.5, 0.5], atol=1e-5)
+    assert part[0, 1, 0] > 0.9  # near the +length face
+
+
+def test_forward_unet_and_decode(setup):
     ds, det, batch, variables = setup
     out = det.apply(variables, batch, train=False)
-    assert out["rcnn_cls"].shape[0] == 2
-    assert "multi_scale_3d_features" in out
+    assert out["point_features"].shape[-1] == 8   # c1 of the unet
+    assert out["point_part_offset"].shape[-1] == 3
+    assert int(out.get("sparse_window_overflow", 0)) == 0
     dets = det.post_process(out)
     assert dets.boxes.shape[0] == 2
 

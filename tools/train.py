@@ -18,7 +18,7 @@ import numpy as np
 from findnpropagate_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file, log_config_to_file
 from findnpropagate_tpu.datasets import build_dataloader
 from findnpropagate_tpu.models import build_network
-from findnpropagate_tpu.parallel.mesh import make_mesh
+from findnpropagate_tpu.parallel.mesh import init_distributed, make_mesh
 from findnpropagate_tpu.runtime.optimization import build_optimizer
 from findnpropagate_tpu.runtime.trainer import (
     create_train_state,
@@ -38,6 +38,10 @@ def parse_config():
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--workers", type=int, default=0)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--dist", action="store_true",
+                        help="multi-host: jax.distributed.initialize from "
+                             "MASTER_ADDR/WORLD_SIZE/RANK or SLURM env "
+                             "(tools/scripts/dist_train.sh)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -49,6 +53,9 @@ def parse_config():
 def main():
     args, _ = parse_config()
     np.random.seed(args.seed)
+    proc_idx, proc_cnt = (0, 1)
+    if args.dist:
+        proc_idx, proc_cnt = init_distributed()
 
     batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
     epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
@@ -65,11 +72,15 @@ def main():
     mesh = make_mesh()
     n_dev = mesh.devices.size
     global_batch = batch_size * n_dev if n_dev > 1 else batch_size
-    logger.info(f"mesh {mesh.shape}, global batch {global_batch}")
+    # multi-host: each process loads and feeds its own 1/proc_cnt slice
+    local_batch = global_batch // proc_cnt
+    logger.info(f"mesh {mesh.shape}, global batch {global_batch}, "
+                f"process {proc_idx}/{proc_cnt}")
 
     dataset, loader, _ = build_dataloader(
-        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=global_batch,
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=local_batch,
         training=True, seed=args.seed, logger=logger,
+        shard_id=proc_idx, num_shards=proc_cnt,
     )
     detector = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=dataset)
 
