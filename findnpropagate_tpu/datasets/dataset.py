@@ -137,8 +137,10 @@ class DatasetTemplate:
         if has_pseudo:
             batch["pseudo_boxes"] = pseudo_boxes
             batch["pseudo_samples_mask"] = pseudo_samples_mask
-        # camera matrices for the OV pipeline (stacked when present)
-        for key in ("lidar2image", "camera2lidar", "camera_intrinsics"):
+        # camera matrices/images for the OV + fusion pipelines
+        for key in ("lidar2image", "camera2lidar", "camera_intrinsics",
+                    "camera_imgs", "img_aug_matrix", "lidar_aug_matrix",
+                    "trans_lidar_to_cam", "trans_cam_to_img"):
             if all(key in s for s in batch_list):
                 batch[key] = np.stack(
                     [np.asarray(s[key], np.float32) for s in batch_list]

@@ -35,6 +35,7 @@ class SyntheticDataset(DatasetTemplate):
         self.num_objects = int(syn.get("NUM_OBJECTS", 24))
         self.num_raw_points = int(syn.get("NUM_RAW_POINTS", 20000))
         self.base_seed = int(syn.get("SEED", 0)) + (0 if training else 10_000)
+        self.camera_cfg = syn.get("CAMERA")  # {NUM, IMAGE_SIZE} -> rig + imgs
 
     def __len__(self):
         return self.num_scenes
@@ -78,12 +79,45 @@ class SyntheticDataset(DatasetTemplate):
         ground[:, 3] = rng.uniform(0, 1, m)
         points = np.concatenate(obj_pts + [ground], axis=0).astype(np.float32)
 
-        return {
+        out = {
             "points": points,
             "gt_boxes": boxes,
             "gt_names": np.asarray(names),
             "frame_id": index,
         }
+        if self.camera_cfg:
+            ncam = int(self.camera_cfg.get("NUM", 2))
+            h, w = (int(v) for v in self.camera_cfg.get("IMAGE_SIZE",
+                                                        (64, 64)))
+            fx = w  # ~90 deg FOV
+            K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]])
+            l2i, c2l, intr = [], [], []
+            for ci in range(ncam):
+                yaw = 2 * np.pi * ci / ncam
+                R_c2l = np.array([[0, 0, 1.0], [-1, 0, 0], [0, -1, 0]])
+                rot = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                                [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
+                c2l_i = np.eye(4, dtype=np.float32)
+                c2l_i[:3, :3] = rot @ R_c2l
+                l2c = np.linalg.inv(c2l_i)
+                l2i_i = np.eye(4, dtype=np.float32)
+                l2i_i[:3, :3] = K @ l2c[:3, :3]
+                l2i_i[:3, 3] = K @ l2c[:3, 3]
+                intr_i = np.eye(4, dtype=np.float32)
+                intr_i[:3, :3] = K
+                l2i.append(l2i_i)
+                c2l.append(c2l_i)
+                intr.append(intr_i)
+            out["lidar2image"] = np.stack(l2i)
+            out["camera2lidar"] = np.stack(c2l)
+            out["camera_intrinsics"] = np.stack(intr)
+            out["camera_imgs"] = rng.uniform(
+                0, 1, (ncam, h, w, 3)).astype(np.float32)
+            # CaDDN-style single-camera transforms (camera 0)
+            out["trans_lidar_to_cam"] = np.linalg.inv(
+                c2l[0]).astype(np.float32)
+            out["trans_cam_to_img"] = intr[0][:3, :4].astype(np.float32)
+        return out
 
     def __getitem__(self, index):
         data_dict = self.generate_scene(index)

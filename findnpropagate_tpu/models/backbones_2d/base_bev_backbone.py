@@ -70,3 +70,40 @@ class BaseBEVBackbone(nn.Module):
 
         batch["spatial_features_2d"] = x
         return batch
+
+
+class BaseBEVBackboneV1(nn.Module):
+    """V1 variant (base_bev_backbone.py:115-204, /root/reference): consumes
+    the PillarNet multi_scale_2d_features (dense x_conv4 / x_conv5) instead
+    of one spatial_features map; block i processes source i and deblocks
+    upsample + concat."""
+
+    model_cfg: dict
+    input_channels: int = 0
+
+    @property
+    def num_bev_features(self):
+        ups = self.model_cfg.get("NUM_UPSAMPLE_FILTERS", []) or []
+        return sum(int(u) for u in ups)
+
+    @nn.compact
+    def __call__(self, batch, train: bool):
+        cfg = self.model_cfg
+        layer_nums = cfg.get("LAYER_NUMS", [])
+        num_filters = cfg.get("NUM_FILTERS", [])
+        upsample_strides = cfg.get("UPSAMPLE_STRIDES", [])
+        num_up = cfg.get("NUM_UPSAMPLE_FILTERS", [])
+        ms = batch["multi_scale_2d_features"]
+        srcs = [ms["x_conv4_dense"] if "x_conv4_dense" in ms
+                else ms["x_conv4"], ms["x_conv5"]]
+        ups = []
+        for i, (n, f) in enumerate(zip(layer_nums, num_filters)):
+            x = srcs[i]
+            for k in range(int(n)):
+                x = ConvBNReLU(int(f), 3, 1, name=f"block{i}_conv{k}")(x, train)
+            ups.append(DeconvBNReLU(int(num_up[i]),
+                                    stride=int(upsample_strides[i]),
+                                    name=f"deblock{i}")(x, train))
+        x = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+        batch["spatial_features_2d"] = x
+        return batch

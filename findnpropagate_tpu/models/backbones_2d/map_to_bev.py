@@ -70,3 +70,27 @@ class HeightCompression(nn.Module):
         batch["spatial_features"] = x
         batch["spatial_features_stride"] = batch.get("encoded_spconv_tensor_stride", 8)
         return batch
+
+
+class Conv2DCollapse(nn.Module):
+    """CaDDN z-collapse (map_to_bev/conv2d_collapse.py:1-38): the dense
+    camera voxel volume folds z into channels and a 1x1 conv + BN + ReLU
+    reduces to NUM_BEV_FEATURES."""
+
+    model_cfg: dict
+    grid_size: tuple = ()
+
+    @property
+    def num_bev_features(self):
+        return int(self.model_cfg["NUM_BEV_FEATURES"])
+
+    @nn.compact
+    def __call__(self, batch, train: bool):
+        dense = batch["voxel_features_dense"]   # (B, nz, ny, nx, C)
+        b, nz, ny, nx, c = dense.shape
+        x = jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(b, ny, nx, nz * c)
+        x = nn.Conv(self.num_bev_features, (1, 1), use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        batch["spatial_features"] = nn.relu(x)
+        batch["spatial_features_stride"] = 1
+        return batch

@@ -1,5 +1,6 @@
 from .pointnet2_backbone import PointNet2MSG
 from .spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from .spconv_backbone_2d import PillarBackBone8x, PillarRes18BackBone8x
 from .spconv_backbone_voxelnext import VoxelResBackBone8xVoxelNeXt
 from .spconv_unet import UNetV2
 
@@ -9,4 +10,6 @@ BACKBONE_3D_REGISTRY = {
     "VoxelResBackBone8xVoxelNeXt": VoxelResBackBone8xVoxelNeXt,
     "PointNet2MSG": PointNet2MSG,
     "UNetV2": UNetV2,
+    "PillarBackBone8x": PillarBackBone8x,
+    "PillarRes18BackBone8x": PillarRes18BackBone8x,
 }

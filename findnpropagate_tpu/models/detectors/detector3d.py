@@ -35,6 +35,47 @@ from ..roi_heads import ROI_HEAD_REGISTRY
 from ..vfe import VFE_REGISTRY
 
 
+class RoIProposalStage(nn.Module):
+    """PV-RCNN++ pre-pfe proposal + ROI sampling stage
+    (pv_rcnn_plusplus.py:16-27): writes rois / roi_labels / roi_valid (and
+    the training target dict) into the batch so the pfe can sample
+    keypoints proposal-centrically; the ROI head consumes them as-is."""
+
+    model_cfg: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool):
+        from ..roi_heads.roi_head_template import (
+            proposal_layer,
+            sample_rois_for_rcnn,
+        )
+
+        cfg = self.model_cfg
+        nms_cfg = cfg["NMS_CONFIG"]["TRAIN" if train else "TEST"]
+        rois, roi_scores, roi_labels, roi_valid = jax.vmap(
+            lambda c, b: proposal_layer(c, b, nms_cfg)
+        )(batch["batch_cls_preds"], batch["batch_box_preds"])
+        if train:
+            rng = self.make_rng("sampling")
+            gt = batch["gt_boxes"]
+            rngs = jax.random.split(rng, rois.shape[0])
+            targets = jax.vmap(
+                lambda r, ro, sc, la, va, gb, gl, gv: sample_rois_for_rcnn(
+                    r, ro, sc, la, va, gb, gl, gv, cfg["TARGET_CONFIG"])
+            )(rngs, rois, roi_scores, roi_labels, roi_valid,
+              gt[..., :7], gt[..., -1].astype(jnp.int32), gt[..., -1] > 0)
+            batch["rois"] = targets["rois"]
+            batch["roi_labels"] = targets["roi_labels"]
+            batch["roi_valid"] = targets["roi_valid"]
+            batch["roi_targets"] = targets
+        else:
+            batch["rois"] = rois
+            batch["roi_labels"] = roi_labels
+            batch["roi_valid"] = roi_valid
+            batch["roi_scores"] = roi_scores
+        return batch
+
+
 class DetectorModule(nn.Module):
     """The jittable forward: batch dict in, batch dict (with preds) out."""
 
@@ -94,6 +135,32 @@ class DetectorModule(nn.Module):
                 num_rawpoint_features=min(self.num_point_features, 4),
             )
             modules.append("pfe")
+        # camera branch (BEVFusion topology, bevfusion.py:9-14)
+        if "IMAGE_BACKBONE" in cfg:
+            from ..backbones_image import IMAGE_BACKBONE_REGISTRY
+
+            self.image_backbone = IMAGE_BACKBONE_REGISTRY[
+                cfg["IMAGE_BACKBONE"]["NAME"]](
+                model_cfg=cfg["IMAGE_BACKBONE"])
+            modules.append("image_backbone")
+        if "NECK" in cfg:
+            from ..backbones_image import NECK_REGISTRY
+
+            self.neck = NECK_REGISTRY[cfg["NECK"]["NAME"]](
+                model_cfg=cfg["NECK"])
+            modules.append("neck")
+        if "VTRANSFORM" in cfg:
+            from ..view_transforms import VTRANSFORM_REGISTRY
+
+            self.vtransform = VTRANSFORM_REGISTRY[cfg["VTRANSFORM"]["NAME"]](
+                model_cfg=cfg["VTRANSFORM"])
+            modules.append("vtransform")
+        if "FUSER" in cfg:
+            from ..backbones_2d.fuser import FUSER_REGISTRY
+
+            self.fuser = FUSER_REGISTRY[cfg["FUSER"]["NAME"]](
+                model_cfg=cfg["FUSER"])
+            modules.append("fuser")
         if "BACKBONE_2D" in cfg:
             bb_cls = BACKBONE_2D_REGISTRY[cfg["BACKBONE_2D"]["NAME"]]
             in_ch = (
@@ -155,6 +222,16 @@ class DetectorModule(nn.Module):
                 else self.num_class,
             )
             modules.append("roi_head")
+        if "ROI_HEAD" in cfg and cfg["ROI_HEAD"].get("PROPOSAL_BEFORE_PFE"):
+            # PV-RCNN++ topology (pv_rcnn_plusplus.py:9-41): the proposal
+            # layer + ROI sampling run BEFORE the pfe so the keypoints can
+            # sample proposal-centrically
+            self.roi_proposal = RoIProposalStage(
+                model_cfg=cfg["ROI_HEAD"], name="roi_proposal")
+            if "pfe" in modules:
+                modules.remove("pfe")
+            di = modules.index("dense_head")
+            modules[di + 1:di + 1] = ["roi_proposal", "pfe"]
         self.module_order = tuple(modules)
 
     def _voxelize(self, batch):
@@ -178,7 +255,8 @@ class DetectorModule(nn.Module):
     def __call__(self, batch, train: bool = False, upto: int = None):
         """upto: run only the first `upto` modules (profiling hook)."""
         batch = dict(batch)
-        if "voxels" not in batch and "VFE" in self.model_cfg:
+        if "voxels" not in batch and "VFE" in self.model_cfg \
+                and self.model_cfg["VFE"]["NAME"] != "ImageVFE":
             batch = self._voxelize(batch)
         order = self.module_order if upto is None else self.module_order[:upto]
         for name in order:
@@ -245,6 +323,8 @@ class Detector3D:
             return self.head_tools.get_bboxes(out_batch)
         if "voxelnext_preds" in out_batch:
             return self.head_tools.get_bboxes(out_batch)
+        if "center_clip_preds" in out_batch:
+            return self.head_tools.get_bboxes(out_batch)
         pc = self.post_cfg
         nms_cfg = pc["NMS_CONFIG"]
         return post_process(
@@ -279,7 +359,17 @@ def build_detector(model_cfg, num_class, dataset):
     )
     head_tools = None
     head_name = model_cfg.get("DENSE_HEAD", {}).get("NAME")
-    if head_name == "CenterHead":
+    if head_name == "CenterHeadCLIP":
+        from ..dense_heads.center_head_clip import make_center_head_clip_tools
+
+        head_tools = make_center_head_clip_tools(
+            model_cfg["DENSE_HEAD"], num_class,
+            tuple(int(g) for g in grid_size),
+            tuple(float(v) for v in dataset.point_cloud_range),
+            tuple(float(v) for v in voxel_size),
+            class_names=tuple(dataset.class_names),
+        )
+    elif head_name == "CenterHead":
         head_tools = make_center_head_tools(
             model_cfg["DENSE_HEAD"], num_class,
             tuple(int(g) for g in dataset.grid_size),
@@ -287,7 +377,7 @@ def build_detector(model_cfg, num_class, dataset):
             tuple(float(v) for v in dataset.voxel_size),
             class_names=tuple(dataset.class_names),
         )
-    elif head_name == "AnchorHeadSingle":
+    elif head_name in ("AnchorHeadSingle", "AnchorHeadMulti"):
         head_tools = make_anchor_head_tools(
             model_cfg["DENSE_HEAD"], num_class,
             tuple(int(g) for g in dataset.grid_size),
@@ -324,6 +414,29 @@ def build_detector(model_cfg, num_class, dataset):
             unknown_labels=unknown_labels,
             relabel_lut=relabel_lut,
         )
+    if head_tools is not None \
+            and model_cfg.get("VFE", {}).get("NAME") == "ImageVFE":
+        # CaDDN: dense-head loss + depth-distribution supervision
+        from ..vfe.image_vfe import ddn_loss
+
+        vfe_cfg = model_cfg["VFE"]
+
+        @dataclass
+        class CaddnTools:
+            stage1: Any
+
+            def __getattr__(self, name):
+                return getattr(self.stage1, name)
+
+            def compute_loss(self, out_batch):
+                loss1, tb = self.stage1.compute_loss(out_batch)
+                loss_d, tb_d = ddn_loss(out_batch, vfe_cfg)
+                tb = dict(tb)
+                tb.update(tb_d)
+                return loss1 + loss_d, tb
+
+        head_tools = CaddnTools(head_tools)
+
     if "ROI_HEAD" in model_cfg and (
             head_tools is not None or "POINT_HEAD" in model_cfg):
         roi_name = model_cfg["ROI_HEAD"]["NAME"]

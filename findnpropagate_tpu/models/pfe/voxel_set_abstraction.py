@@ -102,6 +102,78 @@ class SALayer(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
+class VectorPoolLayer(nn.Module):
+    """VectorPool aggregation (PV-RCNN++; reference
+    pointnet2_stack/voxel_pool_modules.py VectorPoolAggregationModuleMSG +
+    vector_pool CUDA): in-radius neighbors bin into a G^3 local grid around
+    each keypoint, per-cell mean relative features, flattened through a
+    Dense channel mix — position-sensitive aggregation without per-sample
+    MLPs over every neighbor."""
+
+    grid: int
+    radius: float
+    nsample: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, kp_xyz, kp_valid, src_xyz, src_valid, src_feats,
+                 train: bool):
+        g = int(self.grid)
+        grouped, cnt = jax.vmap(
+            lambda q, qv, sx, sv, sf: query_and_group(
+                q, qv, sx, sv, sf, float(self.radius), int(self.nsample),
+                use_xyz=True)
+        )(kp_xyz, kp_valid, src_xyz, src_valid, src_feats)
+        # grouped: (B, K, S, 3+C) with relative xyz leading
+        rel = grouped[..., :3]
+        cell = jnp.clip(
+            jnp.floor((rel + self.radius) / (2 * self.radius / g)),
+            0, g - 1).astype(jnp.int32)
+        flat = (cell[..., 0] * g + cell[..., 1]) * g + cell[..., 2]
+        slot_ok = (jnp.arange(grouped.shape[2])[None, None, :]
+                   < jnp.maximum(cnt, 0)[..., None]) & (cnt > 0)[..., None]
+        flat = jnp.where(slot_ok, flat, g ** 3)
+        c = grouped.shape[-1]
+
+        def scatter_cells(fl, gr):
+            acc = jnp.zeros((g ** 3 + 1, c), gr.dtype).at[fl].add(gr)
+            n = jnp.zeros((g ** 3 + 1,), gr.dtype).at[fl].add(1.0)
+            return (acc[:-1] / jnp.clip(n[:-1, None], 1.0)).reshape(-1)
+
+        cells = jax.vmap(jax.vmap(scatter_cells))(
+            flat, jnp.where(slot_ok[..., None], grouped, 0.0))
+        out = nn.Dense(self.out_channels, use_bias=False, name="mix")(cells)
+        out = MaskedBatchNorm(self.out_channels, name="mix_bn")(
+            out, kp_valid, train)
+        return nn.relu(out)
+
+
+def sectorized_proposal_centric_mask(points, pmask, rois, roi_valid,
+                                     sample_radius_with_roi):
+    """(P,) candidate mask: points within roi_radius + sample_radius of any
+    ROI center (voxel_set_abstraction.py sample_points_with_roi:45-76)."""
+    centers = rois[:, :3]
+    r = jnp.linalg.norm(rois[:, 3:6], axis=-1) / 2 + sample_radius_with_roi
+    d = jnp.linalg.norm(points[:, None, :3] - centers[None], axis=-1)
+    return pmask & jnp.any((d < r[None]) & roi_valid[None], axis=1)
+
+
+def sector_fps(points, cand_mask, k: int, num_sectors: int):
+    """Sector-partitioned FPS (voxel_set_abstraction.py sector_fps:78-110):
+    each of `num_sectors` azimuth sectors FPS-samples k/num_sectors points
+    from its candidates. Returns (k,) indices into `points`."""
+    angles = jnp.arctan2(points[:, 1], points[:, 0]) + np.pi
+    sector = jnp.clip((angles / (2 * np.pi / num_sectors)).astype(jnp.int32),
+                      0, num_sectors - 1)
+    per = k // num_sectors
+    idx_parts = []
+    for s in range(num_sectors):
+        m = cand_mask & (sector == s)
+        take = per + (k - per * num_sectors if s == num_sectors - 1 else 0)
+        idx_parts.append(farthest_point_sample(points[:, :3], m, take))
+    return jnp.concatenate(idx_parts)
+
+
 class VoxelSetAbstraction(nn.Module):
     model_cfg: Any
     voxel_size: tuple
@@ -121,10 +193,25 @@ class VoxelSetAbstraction(nn.Module):
         pmask = batch["points_mask"]
         b = points.shape[0]
 
-        # --- keypoints: FPS over raw points (get_sampled_points:227-262)
-        kp_idx = jax.vmap(
-            lambda p, m: farthest_point_sample(p[:, :3], m, k)
-        )(points, pmask)
+        # --- keypoints (get_sampled_points:227-262): plain FPS, or the
+        # PV-RCNN++ sectorized proposal-centric sampling (SPC,
+        # sectorized_proposal_centric_sampling:206-226) when rois are in the
+        # batch (pv_rcnn_plusplus.py runs the proposal layer before the pfe)
+        method = str(cfg.get("SAMPLE_METHOD", "FPS")).upper()
+        if method == "SPC" and "rois" in batch:
+            spc = cfg.get("SPC_SAMPLING", {})
+            radius = float(spc.get("SAMPLE_RADIUS_WITH_ROI", 1.6))
+            sectors = int(spc.get("NUM_SECTORS", 6))
+            kp_idx = jax.vmap(
+                lambda p, m, r, rv: sector_fps(
+                    p[:, :3],
+                    sectorized_proposal_centric_mask(p, m, r, rv, radius),
+                    k, sectors)
+            )(points, pmask, batch["rois"][..., :7], batch["roi_valid"])
+        else:
+            kp_idx = jax.vmap(
+                lambda p, m: farthest_point_sample(p[:, :3], m, k)
+            )(points, pmask)
         kp_xyz = jnp.take_along_axis(points[..., :3], kp_idx[..., None],
                                      axis=1)               # (B, K, 3)
         kp_valid = jnp.take_along_axis(pmask, kp_idx, axis=1)
@@ -187,6 +274,21 @@ class VoxelSetAbstraction(nn.Module):
                 (cf[..., 1] + 0.5) * vy * ds + pcr[1],
                 (cf[..., 0] + 0.5) * vz * ds + pcr[2],
             ], axis=-1)
+            vp_cfg = sa_cfg[name].get("VECTOR_POOL")
+            if vp_cfg:
+                # PV-RCNN++: VectorPool aggregation instead of MSG SA
+                vp = VectorPoolLayer(
+                    grid=int(vp_cfg.get("GRID_SIZE", 3)),
+                    radius=float(vp_cfg.get("POOL_RADIUS",
+                                            sa_cfg[name]["POOL_RADIUS"][0])),
+                    nsample=int(vp_cfg.get("NSAMPLE",
+                                           sa_cfg[name]["NSAMPLE"][0])),
+                    out_channels=int(vp_cfg.get("OUT_CHANNELS", 32)),
+                    name=f"vp_{name}",
+                )
+                feats_list.append(
+                    vp(kp_xyz, kp_valid, centers, valid, feats, train))
+                continue
             sa = SALayer(
                 mlps=tuple(tuple(m) for m in sa_cfg[name]["MLPS"]),
                 radii=tuple(sa_cfg[name]["POOL_RADIUS"]),

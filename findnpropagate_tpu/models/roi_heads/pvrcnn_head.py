@@ -52,25 +52,34 @@ class PVRCNNHead(nn.Module):
         cfg = self.model_cfg
         nms_cfg = cfg["NMS_CONFIG"]["TRAIN" if train else "TEST"]
 
-        cls_preds = batch["batch_cls_preds"]
-        box_preds = batch["batch_box_preds"]
-        rois, roi_scores, roi_labels, roi_valid = jax.vmap(
-            lambda c, b: proposal_layer(c, b, nms_cfg)
-        )(cls_preds, box_preds)
-
         targets = None
-        if train:
-            rng = self.make_rng("sampling")
-            gt = batch["gt_boxes"]
-            rngs = jax.random.split(rng, rois.shape[0])
-            targets = jax.vmap(
-                lambda r, ro, sc, la, va, gb, gl, gv: sample_rois_for_rcnn(
-                    r, ro, sc, la, va, gb, gl, gv, cfg["TARGET_CONFIG"])
-            )(rngs, rois, roi_scores, roi_labels, roi_valid,
-              gt[..., :7], gt[..., -1].astype(jnp.int32), gt[..., -1] > 0)
-            rois = targets["rois"]
-            roi_labels = targets["roi_labels"]
-            roi_valid = targets["roi_valid"]
+        if "rois" in batch:
+            # PV-RCNN++: the RoIProposalStage already proposed + sampled
+            rois = batch["rois"]
+            roi_labels = batch["roi_labels"]
+            roi_valid = batch["roi_valid"]
+            targets = batch.get("roi_targets")
+        else:
+            cls_preds = batch["batch_cls_preds"]
+            box_preds = batch["batch_box_preds"]
+            rois, roi_scores, roi_labels, roi_valid = jax.vmap(
+                lambda c, b: proposal_layer(c, b, nms_cfg)
+            )(cls_preds, box_preds)
+
+            if train:
+                rng = self.make_rng("sampling")
+                gt = batch["gt_boxes"]
+                rngs = jax.random.split(rng, rois.shape[0])
+                targets = jax.vmap(
+                    lambda r, ro, sc, la, va, gb, gl, gv:
+                    sample_rois_for_rcnn(
+                        r, ro, sc, la, va, gb, gl, gv, cfg["TARGET_CONFIG"])
+                )(rngs, rois, roi_scores, roi_labels, roi_valid,
+                  gt[..., :7], gt[..., -1].astype(jnp.int32),
+                  gt[..., -1] > 0)
+                rois = targets["rois"]
+                roi_labels = targets["roi_labels"]
+                roi_valid = targets["roi_valid"]
 
         # ---- ROI grid pooling over weighted keypoints (roi_grid_pool) ----
         kp = jax.lax.stop_gradient(batch["point_coords"])     # (B, K, 3)

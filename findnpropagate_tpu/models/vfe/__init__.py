@@ -1,4 +1,5 @@
 from .dynamic_vfe import DynamicMeanVFE, DynamicPillarVFE
+from .image_vfe import ImageVFE
 from .mean_vfe import MeanVFE
 from .pillar_vfe import PillarVFE
 
@@ -9,4 +10,5 @@ VFE_REGISTRY = {
     "DynamicMeanVFE": DynamicMeanVFE,
     "DynPillarVFE": DynamicPillarVFE,
     "DynamicPillarVFE": DynamicPillarVFE,
+    "ImageVFE": ImageVFE,
 }

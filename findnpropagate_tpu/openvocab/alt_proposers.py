@@ -1,0 +1,177 @@
+"""Alternate open-vocab proposers — ablation baselines.
+
+Parity targets (/root/reference):
+  * GTProposals (pcdet/models/dense_heads/gt_proposals.py:24-59): the
+    recall-upper-bound oracle that emits the gt boxes as detections.
+  * FrustumProposer (frustum_proposals.py:383-1098) family
+    (FrustumClusterProposer / FrustumDBSCAN): cluster the in-frustum points
+    of each cached 2D detection, place per-class anchor boxes at cluster
+    centers over a yaw sweep, score by back-projected 2D IoU + point
+    density, keep the top-k.
+
+These are extraction-time research baselines (the reference runs them as
+untrainable torch modules full of data-dependent python); here they are
+host-side numpy drivers that reuse the same camera geometry as the main
+Greedy Box Seeker. Clustering uses sklearn DBSCAN when available and a
+small numpy fallback otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .frustum_proposer import NUSCENES_ANCHORS
+
+
+def gt_proposals(gt_boxes, max_label: int = 10):
+    """(M, 8) padded gt -> (boxes (K, 7), scores, labels) — GTProposals."""
+    labels = gt_boxes[:, -1].astype(np.int64)
+    keep = (labels > 0) & (labels <= max_label)
+    boxes = gt_boxes[keep, :7]
+    labels = labels[keep]
+    return boxes, np.ones(len(boxes), np.float32), labels
+
+
+def _dbscan(points, eps, min_samples):
+    try:
+        from sklearn.cluster import DBSCAN
+
+        return DBSCAN(eps=eps, min_samples=min_samples).fit_predict(points)
+    except Exception:
+        # numpy fallback: grid-hash connected components
+        labels = np.full(len(points), -1, np.int64)
+        if not len(points):
+            return labels
+        cell = np.floor(points / eps).astype(np.int64)
+        key = {tuple(c): [] for c in cell}
+        for i, c in enumerate(cell):
+            key[tuple(c)].append(i)
+        visited = np.zeros(len(points), bool)
+        cur = 0
+        for i in range(len(points)):
+            if visited[i]:
+                continue
+            stack = [i]
+            members = []
+            while stack:
+                j = stack.pop()
+                if visited[j]:
+                    continue
+                visited[j] = True
+                members.append(j)
+                cj = cell[j]
+                for dz in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            nb = (cj[0] + dx, cj[1] + dy, cj[2] + dz)
+                            for k in key.get(nb, []):
+                                if not visited[k] and np.linalg.norm(
+                                        points[k] - points[j]) <= eps:
+                                    stack.append(k)
+            if len(members) >= min_samples:
+                labels[np.asarray(members)] = cur
+                cur += 1
+        return labels
+
+
+class FrustumClusterProposer:
+    """Cluster-based frustum proposer (FrustumProposer /
+    FrustumClusterProposer / FrustumDBSCAN semantics)."""
+
+    def __init__(self, class_names, anchors=None, num_rot: int = 10,
+                 eps: float = 0.8, min_samples: int = 5,
+                 min_cam_iou: float = 0.1, iou_w: float = 0.9,
+                 dns_w: float = 0.5, score_thr: float = 0.1,
+                 topk: int = 1, max_dist: float = 60.0,
+                 image_size=(900, 1600)):
+        self.class_names = list(class_names)
+        self.anchors = np.asarray(
+            anchors if anchors is not None else NUSCENES_ANCHORS, np.float32)
+        self.num_rot = num_rot
+        self.eps = eps
+        self.min_samples = min_samples
+        self.min_cam_iou = min_cam_iou
+        self.iou_w = iou_w
+        self.dns_w = dns_w
+        self.score_thr = score_thr
+        self.topk = topk
+        self.max_dist = max_dist
+        self.image_size = image_size
+
+    def _project(self, pts, l2i):
+        hom = pts @ l2i[:3, :3].T + l2i[:3, 3]
+        depth = hom[:, 2]
+        uv = hom[:, :2] / np.clip(depth[:, None], 1e-5, None)
+        return uv, depth
+
+    def propose(self, points, det_boxes, det_labels, det_scores, det_cams,
+                lidar2image):
+        """points (P, 3+); cached dets (D, ...); lidar2image (NCAM, 4, 4).
+        Returns (boxes (K, 7), scores, labels) numpy arrays."""
+        h_img, w_img = self.image_size
+        pts = points[:, :3]
+        out_boxes, out_scores, out_labels = [], [], []
+        for di in range(len(det_boxes)):
+            if det_scores[di] < self.score_thr:
+                continue
+            cam = int(det_cams[di])
+            l2i = lidar2image[cam]
+            uv, depth = self._project(pts, l2i)
+            x1, y1, x2, y2 = det_boxes[di]
+            on = ((depth > 0) & (uv[:, 0] >= x1) & (uv[:, 0] < x2)
+                  & (uv[:, 1] >= y1) & (uv[:, 1] < y2)
+                  & (np.linalg.norm(pts, axis=1) < self.max_dist))
+            box_pts = pts[on]
+            if len(box_pts) < self.min_samples:
+                continue
+            cl = _dbscan(box_pts, self.eps, self.min_samples)
+            anchor = self.anchors[int(det_labels[di]) - 1]
+            cands, scores = [], []
+            for cid in range(cl.max() + 1):
+                members = box_pts[cl == cid]
+                ctr = members.mean(axis=0)
+                for rot in np.linspace(0, np.pi, self.num_rot,
+                                       endpoint=False):
+                    cand = np.array([ctr[0], ctr[1], ctr[2],
+                                     anchor[0], anchor[1], anchor[2], rot],
+                                    np.float32)
+                    # back-projected IoU
+                    from ..utils.geometry_np import boxes_to_corners_3d
+
+                    cor = boxes_to_corners_3d(cand[None])[0]
+                    uvc, dc = self._project(cor, l2i)
+                    uvc[:, 0] = np.clip(uvc[:, 0], 0, w_img)
+                    uvc[:, 1] = np.clip(uvc[:, 1], 0, h_img)
+                    px1, py1 = uvc.min(axis=0)
+                    px2, py2 = uvc.max(axis=0)
+                    ix = max(0.0, min(px2, x2) - max(px1, x1))
+                    iy = max(0.0, min(py2, y2) - max(py1, y1))
+                    inter = ix * iy
+                    union = ((px2 - px1) * (py2 - py1)
+                             + (x2 - x1) * (y2 - y1) - inter)
+                    iou = inter / max(union, 1e-9)
+                    if iou <= self.min_cam_iou:
+                        continue
+                    # density: members inside candidate
+                    sh = members - cand[:3]
+                    c_, s_ = np.cos(-rot), np.sin(-rot)
+                    lx = sh[:, 0] * c_ - sh[:, 1] * s_
+                    ly = sh[:, 0] * s_ + sh[:, 1] * c_
+                    inside = ((np.abs(lx) <= anchor[0] / 2)
+                              & (np.abs(ly) <= anchor[1] / 2)
+                              & (np.abs(sh[:, 2]) <= anchor[2] / 2))
+                    dens = inside.mean() if len(members) else 0.0
+                    cands.append(cand)
+                    scores.append(self.iou_w * iou + self.dns_w * dens)
+            if not cands:
+                continue
+            order = np.argsort(-np.asarray(scores))[: self.topk]
+            for oi in order:
+                out_boxes.append(cands[oi])
+                out_scores.append(float(det_scores[di]))
+                out_labels.append(int(det_labels[di]))
+        if not out_boxes:
+            return (np.zeros((0, 7), np.float32), np.zeros(0, np.float32),
+                    np.zeros(0, np.int64))
+        return (np.stack(out_boxes), np.asarray(out_scores, np.float32),
+                np.asarray(out_labels, np.int64))

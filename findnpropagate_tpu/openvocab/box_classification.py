@@ -94,6 +94,54 @@ class GLIPBoxClassification:
         return labels, scores
 
 
+class CLIPBoxClassificationMaskCLIP:
+    """MaskCLIP relabel variant (clip_box_cls_maskclip.py:66-309,
+    /root/reference): per-pixel CLIP class probabilities from the dense
+    value-embedding features (backbones_image/maskclip.py), averaged inside
+    each 3D box's projected 2D region per camera, then averaged over the
+    cameras the box appears in — REPLACES predicted labels + scores.
+
+    The dense encoder is weights-gated; tests stub `maskclip.pixel_probs`."""
+
+    def __init__(self, class_names: Sequence[str],
+                 image_size=(900, 1600), maskclip=None):
+        from ..models.backbones_image.maskclip import MaskCLIP
+
+        self.class_names = list(class_names)
+        self.image_size = image_size
+        self.maskclip = maskclip or MaskCLIP(class_names)
+
+    def relabel(self, boxes3d, lidar2image, images):
+        """boxes3d (N, 7); images (NCAM, H, W, 3) in [0, 1].
+        Returns (labels (N,) 1-indexed, scores (N,))."""
+        probs_px = self.maskclip.pixel_probs(images)   # (NCAM, H, W, C)
+        boxes2d, visible = project_boxes_to_cameras(
+            boxes3d, lidar2image, self.image_size)
+        ncam, n = visible.shape
+        h_img, w_img = self.image_size
+        ys = jnp.arange(h_img, dtype=jnp.float32)
+        xs = jnp.arange(w_img, dtype=jnp.float32)
+
+        def per_cam(pp, b2d, vis):
+            def per_box(box, v):
+                in_x = (xs >= box[0]) & (xs < box[2])
+                in_y = (ys >= box[1]) & (ys < box[3])
+                m = in_y[:, None] & in_x[None, :]
+                denom = jnp.clip(jnp.sum(m), 1)
+                mean = jnp.sum(pp * m[..., None], axis=(0, 1)) / denom
+                return jnp.where(v, mean, 0.0)
+
+            return jax.vmap(per_box)(b2d, vis)          # (N, C)
+
+        probs = jnp.sum(jax.vmap(per_cam)(probs_px, boxes2d, visible),
+                        axis=0)
+        cams_seen = jnp.clip(jnp.sum(visible, axis=0), 1)
+        probs = probs / cams_seen[:, None]
+        labels = jnp.argmax(probs, axis=-1).astype(jnp.int32) + 1
+        scores = jnp.max(probs, axis=-1)
+        return labels, scores
+
+
 class CLIPBoxClassification:
     """CLIP crop scoring; requires local CLIP weights (no egress here)."""
 

@@ -99,6 +99,10 @@ class FrustumProposerOG:
     # 0 < nms_3d < 1; the reference default 1.0 disables it
     nms_3d: float = 1.0
     bev_nms_grid: tuple = (180, 180)
+    # detections processed per step: a full vmap over D dets materializes
+    # D x N_prop x P intermediates (several GB at nuScenes scale) and kills
+    # the TPU compile; lax.map over chunks bounds live memory
+    det_chunk: int = 8
     score_thr: float = 0.1
     frustum_min: float = 2.0
     image_size: tuple = (900, 1600)
@@ -401,10 +405,28 @@ class FrustumProposerOG:
             ok = kept & (idx >= 0) & (n_box_pts > 0)
             return boxes3d[sel], oracle[sel], ok, frust_box
 
-        boxes_o, oracle_o, valid_o, frust_o = jax.vmap(per_det)(
-            det_boxes, det_labels, det_scores,
-            jnp.clip(det_cams, 0), keep,
-        )  # (D, K, 7), (D, K), (D, K), (D, 8, 3)
+        d_all = det_boxes.shape[0]
+        chunk = max(c for c in range(1, min(self.det_chunk, d_all) + 1)
+                    if d_all % c == 0)
+
+        def chunk_fn(args):
+            return jax.vmap(per_det)(*args)
+
+        def to_chunks(x):
+            return x.reshape((d_all // chunk, chunk) + x.shape[1:])
+
+        boxes_o, oracle_o, valid_o, frust_o = jax.lax.map(
+            chunk_fn,
+            (to_chunks(det_boxes), to_chunks(det_labels),
+             to_chunks(det_scores), to_chunks(jnp.clip(det_cams, 0)),
+             to_chunks(keep)),
+        )  # (D/c, c, K, 7), ...
+
+        def merge(x):
+            return x.reshape((d_all,) + x.shape[2:])
+
+        boxes_o, oracle_o, valid_o, frust_o = (
+            merge(boxes_o), merge(oracle_o), merge(valid_o), merge(frust_o))
 
         if 0.0 < self.nms_3d < 1.0:
             masks = self.frustum_bev_masks(frust_o)

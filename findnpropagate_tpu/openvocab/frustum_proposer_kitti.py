@@ -116,6 +116,7 @@ class FrustumProposerOGKITTI:
     score_thr: float = 0.1
     clamp_bottom: float = 0.0
     search_depth: float | None = None
+    det_chunk: int = 8  # lax.map chunking (see FrustumProposerOG.det_chunk)
     frustum_min: float = 2.0
     # clamp extents for back-projected corners (:100-101, :609-610) — the
     # reference keeps the nuScenes [900, 1600] here
@@ -300,9 +301,24 @@ class FrustumProposerOGKITTI:
             ok = kept & (idx >= 0) & (n_box_pts > 0)
             return boxes3d[sel], oracle[sel], ok
 
-        boxes_o, oracle_o, valid_o = jax.vmap(per_det)(
-            det_boxes, det_labels, det_scores, keep,
-        )  # (D, K, 7), (D, K), (D, K)
+        d_all = det_boxes.shape[0]
+        chunk = max(c for c in range(1, min(self.det_chunk, d_all) + 1)
+                    if d_all % c == 0)
+
+        def chunk_fn(args):
+            return jax.vmap(per_det)(*args)
+
+        def to_chunks(x):
+            return x.reshape((d_all // chunk, chunk) + x.shape[1:])
+
+        boxes_o, oracle_o, valid_o = jax.lax.map(
+            chunk_fn,
+            (to_chunks(det_boxes), to_chunks(det_labels),
+             to_chunks(det_scores), to_chunks(keep)),
+        )
+        boxes_o = boxes_o.reshape((d_all,) + boxes_o.shape[2:])
+        oracle_o = oracle_o.reshape((d_all,) + oracle_o.shape[2:])
+        valid_o = valid_o.reshape((d_all,) + valid_o.shape[2:])
 
         k = self.topk
         d = det_scores.shape[0]

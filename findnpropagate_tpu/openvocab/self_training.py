@@ -39,6 +39,64 @@ def register_pseudo_hooks(loader: PseudoLoader):
     )
 
 
+def build_relabeler(opt_cfg, class_names, detector2d=None,
+                    image_provider=None):
+    """VLM relabeler factory — the CLIP_TYPE dispatch of the reference's ST
+    loop (train_utils.py:49-112): CROP -> CLIPBoxClassification,
+    MASKCLIP -> CLIPBoxClassificationMaskCLIP, GLIP -> GLIPBoxClassification.
+
+    Returns a callable (boxes, batch, i, labels, scores) -> (labels, scores)
+    matching extract_pseudo_labels' hook, or None when relabeling is off.
+    `image_provider(batch, i)` must return (NCAM, H, W, 3) images for the
+    CROP/MASKCLIP modes (the reference swaps in a camera-enabled loader)."""
+    import jax.numpy as jnp
+
+    if not opt_cfg.get("CLIP_UNK_RELABEL", False):
+        return None
+    clip_type = str(opt_cfg.get("CLIP_TYPE", "CROP")).upper()
+    from .box_classification import (
+        CLIPBoxClassification,
+        CLIPBoxClassificationMaskCLIP,
+        GLIPBoxClassification,
+    )
+
+    if clip_type == "GLIP":
+        glip = GLIPBoxClassification(num_classes=len(class_names))
+
+        def relabel(boxes, batch, i, labels, scores):
+            dets = detector2d.infer(batch.get("camera_paths", [[]])[i]) \
+                if detector2d is not None else None
+            if dets is None:
+                return labels, scores
+            l, s = glip.relabel(
+                jnp.asarray(boxes[:, :7]),
+                jnp.asarray(batch["lidar2image"][i]),
+                jnp.asarray(dets["det_boxes"]),
+                jnp.asarray(dets["det_labels"]),
+                jnp.asarray(dets["det_scores"]),
+                jnp.asarray(dets["det_cams"]),
+                jnp.asarray(dets["det_mask"]))
+            return np.asarray(l), np.asarray(s)
+
+        return relabel
+
+    cls = CLIPBoxClassification if clip_type == "CROP" \
+        else CLIPBoxClassificationMaskCLIP
+    vlm = cls(class_names=class_names)
+
+    def relabel(boxes, batch, i, labels, scores):
+        if image_provider is None:
+            return labels, scores
+        images = image_provider(batch, i)
+        l, s = vlm.relabel(
+            jnp.asarray(boxes[:, :7]),
+            jnp.asarray(batch["lidar2image"][i]),
+            jnp.asarray(images))
+        return np.asarray(l), np.asarray(s)
+
+    return relabel
+
+
 def pseudo_labels_exist(processor: PseudoProcessor, epoch: int) -> bool:
     """Epoch-stamp check preventing re-extraction after restart
     (train_utils.py:16-34)."""

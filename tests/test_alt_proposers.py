@@ -1,0 +1,94 @@
+"""Ablation proposers (GTProposals oracle, cluster-based FrustumProposer)
+and the MaskCLIP relabel variant (stubbed dense encoder)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from findnpropagate_tpu.openvocab.alt_proposers import (
+    FrustumClusterProposer,
+    gt_proposals,
+)
+from test_box_classification import BOXES3D, project_box_2d
+from test_frustum_proposer import make_camera
+
+
+def test_gt_proposals_oracle():
+    gt = np.zeros((5, 8), np.float32)
+    gt[0] = [5, 0, 0, 4, 2, 1.5, 0.1, 3]
+    gt[1] = [8, 1, 0, 1, 1, 1.7, 0.0, 9]
+    # rows 2-4 padding (label 0)
+    boxes, scores, labels = gt_proposals(gt)
+    assert len(boxes) == 2
+    assert labels.tolist() == [3, 9]
+    assert (scores == 1.0).all()
+
+
+def test_cluster_proposer_finds_object():
+    l2i, _, _ = make_camera()
+    rng = np.random.RandomState(0)
+    box = BOXES3D[0]
+    local = rng.uniform(-0.4, 0.4, (300, 3)) * box[3:6]
+    c, s = np.cos(box[6]), np.sin(box[6])
+    pts = np.stack([local[:, 0] * c - local[:, 1] * s + box[0],
+                    local[:, 0] * s + local[:, 1] * c + box[1],
+                    local[:, 2] + box[2]], -1).astype(np.float32)
+    bg = rng.uniform(-30, 30, (200, 3)).astype(np.float32)
+    points = np.concatenate([pts, bg])
+    det = project_box_2d(box.astype(np.float64), l2i)
+
+    prop = FrustumClusterProposer(class_names=["car"] * 10, topk=1)
+    boxes, scores, labels = prop.propose(
+        points, det[None], np.asarray([1]), np.asarray([0.9]),
+        np.asarray([0]), l2i[None])
+    assert len(boxes) == 1
+    np.testing.assert_allclose(boxes[0, :2], box[:2], atol=1.0)
+    assert labels[0] == 1
+
+
+class _StubMaskCLIP:
+    """pixel_probs stub: class 1 probability painted where the red channel
+    is lit, class 2 where blue."""
+
+    def pixel_probs(self, images):
+        r = images[..., 0]
+        b = images[..., 2]
+        other = 1.0 - jnp.clip(r + b, 0, 1)
+        return jnp.stack([r, b, other], -1)
+
+
+def test_maskclip_relabel_with_stub():
+    from findnpropagate_tpu.openvocab.box_classification import (
+        CLIPBoxClassificationMaskCLIP,
+    )
+
+    l2i, _, _ = make_camera()
+    h, w = 900, 1600
+    images = np.zeros((1, h, w, 3), np.float32)
+    b0 = project_box_2d(BOXES3D[0].astype(np.float64), l2i).astype(int)
+    b1 = project_box_2d(BOXES3D[1].astype(np.float64), l2i).astype(int)
+    images[0, b0[1]:b0[3], b0[0]:b0[2], 0] = 1.0
+    images[0, b1[1]:b1[3], b1[0]:b1[2], 2] = 1.0
+
+    rel = CLIPBoxClassificationMaskCLIP(
+        class_names=["red_thing", "blue_thing", "bg"],
+        maskclip=_StubMaskCLIP())
+    labels, scores = rel.relabel(
+        jnp.asarray(BOXES3D), jnp.asarray(l2i, jnp.float32)[None],
+        jnp.asarray(images))
+    assert np.asarray(labels).tolist() == [1, 2]
+    assert (np.asarray(scores) > 0.5).all()
+
+
+def test_build_relabeler_dispatch():
+    from findnpropagate_tpu.openvocab.self_training import build_relabeler
+
+    assert build_relabeler({"CLIP_UNK_RELABEL": False}, ["a"]) is None
+    r = build_relabeler({"CLIP_UNK_RELABEL": True, "CLIP_TYPE": "GLIP"},
+                        ["a", "b"])
+    assert r is not None
+    # GLIP mode with no cached detector: labels pass through unchanged
+    l, s = r(np.zeros((2, 7), np.float32), {}, 0,
+             np.asarray([1, 2]), np.asarray([0.5, 0.6]))
+    assert list(l) == [1, 2]
