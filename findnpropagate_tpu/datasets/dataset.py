@@ -101,7 +101,28 @@ class DatasetTemplate:
         return data_dict
 
     def collate_batch(self, batch_list):
-        """Pad each sample to (MAX_POINTS, MAX_GT) and stack. Fixed shapes."""
+        """Pad each sample to (MAX_POINTS, MAX_GT) and stack. Fixed shapes.
+
+        Double-flip TTA (reference data_processor.py:239-302): each sample
+        expands into [orig, yflip, xflip, xyflip] — batch becomes B*4 with
+        gt only on the originals; the consuming head merges the four
+        (VoxelNeXt DOUBLE_FLIP)."""
+        if getattr(self.data_processor, "double_flip", False):
+            expanded = []
+            for s in batch_list:
+                expanded.append(s)
+                for fy, fx in ((True, False), (False, True), (True, True)):
+                    t = dict(s)
+                    pts = np.array(s["points"], copy=True)
+                    if fy:
+                        pts[:, 1] = -pts[:, 1]
+                    if fx:
+                        pts[:, 0] = -pts[:, 0]
+                    t["points"] = pts
+                    t["gt_boxes"] = np.zeros((0, 7), np.float32)
+                    t["gt_names"] = np.asarray([])
+                    expanded.append(t)
+            batch_list = expanded
         b = len(batch_list)
         f = batch_list[0]["points"].shape[-1]
         points = np.zeros((b, self.max_points, f), dtype=np.float32)

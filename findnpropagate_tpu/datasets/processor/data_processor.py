@@ -22,9 +22,15 @@ class DataProcessor:
         self.num_point_features = num_point_features
         self.grid_size = None
         self.voxel_size = None
+        self.double_flip = False
         self.queue = []
         for cfg in processor_configs:
             if cfg["NAME"] == "transform_points_to_voxels":
+                # double-flip TTA (data_processor.py:239-302): each eval
+                # sample expands into [orig, yflip, xflip, xyflip] at
+                # collate time (voxelization stays on device)
+                self.double_flip = bool(cfg.get("DOUBLE_FLIP", False)) \
+                    and not training
                 # grid geometry must be known at construction time (the model
                 # builder reads it); the device does the actual voxelization.
                 self.voxel_size = np.asarray(cfg["VOXEL_SIZE"], np.float32)

@@ -170,16 +170,17 @@ class UNetV2(_SparseStack):
             merged = xm_f + red
             merged = jnp.where(validL[..., None], merged, 0.0)
             if L > 1:
-                # inverse conv onto level L-1's active set
+                # inverse conv onto level L-1's active set (one windowed
+                # call — the transpose of the forward strided conv)
                 w, _ = dec[f"inv{L}_conv"]()
                 fine = levels[L - 1]
                 f_ids, f_coords, f_valid, _ = fine[1]
                 out, ov = jax.vmap(
-                    lambda ci, cf, fc, fv: win_inverse_conv(
-                        ci, cf, fc, fv, x_trans[2], fine[2], w,
+                    lambda cc, cv, cf, fi, fv: win_inverse_conv(
+                        cc, cv, cf, fi, fv, fine[2], x_trans[2], w,
                         stride=strides[L], padding=self.stage_paddings[L - 1],
-                        block=block, window=window, precision=prec)
-                )(ids, merged, f_coords, f_valid)
+                        block=block, window=swindow, precision=prec)
+                )(coordsL, validL, merged, f_ids, f_valid)
                 ovf.append(jnp.sum(ov))
                 out = nn.relu(dec[f"inv{L}_bn"](out, f_valid, train))
                 out = jnp.where(f_valid[..., None], out, 0.0)

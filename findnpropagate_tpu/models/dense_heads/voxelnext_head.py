@@ -316,6 +316,98 @@ class VoxelNeXtHeadTools:
         return total, {"hm_loss": hm_total, "loc_loss": loc_total,
                        "rpn_loss": total}
 
+    def _merge_double_flip(self, preds, coords, valid):
+        """merge_double_flip (voxelnext_head.py:351-427): groups of 4 batch
+        entries [orig, yflip, xflip, xyflip] flip their voxel indices and
+        sign-sensitive channels back, then coinciding BEV cells average.
+        Returns (merged preds dict with hm=probabilities and dim=exp'd,
+        merged coords, merged valid) at batch B = B4/4."""
+        ny = int(self.grid_size[1]) // self.stride
+        nx = int(self.grid_size[0]) // self.stride
+        b4, v = valid.shape
+        b = b4 // 4
+        ho = self.head_order
+
+        hm = jax.nn.sigmoid(preds["hm"])
+        dim = jnp.exp(preds["dim"])
+        center = preds["center"]
+        rot = preds["rot"]
+        vel = preds.get("vel")
+        cz = preds["center_z"]
+
+        def flip_one(i, c, ctr, rt, vl):
+            yflip = i in (1, 3)
+            xflip = i in (2, 3)
+            cy = jnp.where(yflip, ny - c[..., 1], c[..., 1])
+            cx = jnp.where(xflip, nx - c[..., 2], c[..., 2])
+            c2 = jnp.stack([c[..., 0], cy, cx], -1)
+            ctr2 = jnp.stack([
+                jnp.where(xflip, -ctr[..., 0], ctr[..., 0]),
+                jnp.where(yflip, -ctr[..., 1], ctr[..., 1])], -1)
+            rt2 = jnp.stack([
+                jnp.where(xflip, -rt[..., 0], rt[..., 0]),
+                jnp.where(yflip, -rt[..., 1], rt[..., 1])], -1)
+            if vl is not None:
+                vl2 = jnp.stack([
+                    jnp.where(xflip, -vl[..., 0], vl[..., 0]),
+                    jnp.where(yflip, -vl[..., 1], vl[..., 1])], -1)
+            else:
+                vl2 = None
+            return c2, ctr2, rt2, vl2
+
+        # flip each of the 4 sub-batches back, then per real sample merge
+        coords4 = coords.reshape(b, 4, v, 3)
+        valid4 = valid.reshape(b, 4, v)
+
+        def per_feature(x):
+            return x.reshape((b, 4, v) + x.shape[2:])
+
+        hm4, dim4, ctr4, rot4, cz4 = map(per_feature,
+                                         (hm, dim, center, rot, cz))
+        vel4 = per_feature(vel) if vel is not None else None
+
+        parts_c, parts_ctr, parts_rot, parts_vel = [], [], [], []
+        for i in range(4):
+            c2, ctr2, rt2, vl2 = flip_one(
+                i, coords4[:, i], ctr4[:, i], rot4[:, i],
+                vel4[:, i] if vel4 is not None else None)
+            parts_c.append(c2)
+            parts_ctr.append(ctr2)
+            parts_rot.append(rt2)
+            if vl2 is not None:
+                parts_vel.append(vl2)
+        cat_c = jnp.concatenate(parts_c, axis=1)         # (B, 4V, 3)
+        cat_v = jnp.concatenate([valid4[:, i] for i in range(4)], axis=1)
+        feat_parts = [jnp.concatenate([hm4[:, i] for i in range(4)], 1),
+                      jnp.concatenate(parts_ctr, 1),
+                      jnp.concatenate([cz4[:, i] for i in range(4)], 1),
+                      jnp.concatenate([dim4[:, i] for i in range(4)], 1),
+                      jnp.concatenate(parts_rot, 1)]
+        if vel4 is not None:
+            feat_parts.append(jnp.concatenate(parts_vel, 1))
+        cat_f = jnp.concatenate(feat_parts, axis=-1)     # (B, 4V, F)
+        ones = jnp.ones(cat_f.shape[:2] + (1,), cat_f.dtype)
+        cat_f = jnp.concatenate([cat_f, ones], -1)
+
+        from ...ops.sparse_ops import bev_merge
+
+        cap = 2 * v
+        ids_m, coords_m, valid_m, feats_m = jax.vmap(
+            lambda c, vv, f: bev_merge([c], [vv], [f], (1,),
+                                       (ny, nx), cap)
+        )(cat_c, cat_v, cat_f)
+        cnt = jnp.clip(feats_m[..., -1:], 1.0)
+        mean = feats_m[..., :-1] / cnt
+        n_cls = hm.shape[-1]
+        sizes = [n_cls, 2, 1, 3, 2] + ([2] if vel4 is not None else [])
+        out = {}
+        off = 0
+        for name, sz in zip(["hm", "center", "center_z", "dim", "rot"]
+                            + (["vel"] if vel4 is not None else []), sizes):
+            out[name] = mean[..., off:off + sz]
+            off += sz
+        return out, coords_m, valid_m
+
     def get_bboxes(self, out_batch):
         """decode_bbox_from_voxels_nuscenes + per-group class-agnostic NMS
         (voxelnext_head.py:429-499)."""
@@ -330,10 +422,10 @@ class VoxelNeXtHeadTools:
         pcr = self.point_cloud_range
         head_order = self.head_order
 
-        def one_group(preds, coords, valid, group):
+        def one_group(preds, coords, valid, group, activated=False):
             vxy = jnp.stack([coords[:, 2], coords[:, 1]], -1).astype(
                 jnp.float32)
-            hm = jax.nn.sigmoid(preds["hm"])          # (V, C)
+            hm = preds["hm"] if activated else jax.nn.sigmoid(preds["hm"])
             hm = jnp.where(valid[:, None], hm, 0.0)
             v, c = hm.shape
             kk = min(k, v * c)
@@ -345,7 +437,7 @@ class VoxelNeXtHeadTools:
             x = (vxy[vox_idx, 0] + g[:, 0]) * self.stride * vx + pcr[0]
             y = (vxy[vox_idx, 1] + g[:, 1]) * self.stride * vy + pcr[1]
             z = g[:, 2]
-            dims = jnp.exp(g[:, 3:6])
+            dims = g[:, 3:6] if activated else jnp.exp(g[:, 3:6])
             ang = jnp.arctan2(g[:, 7], g[:, 6])
             parts = [x[:, None], y[:, None], z[:, None], dims, ang[:, None]]
             if "vel" in head_order:
@@ -372,11 +464,19 @@ class VoxelNeXtHeadTools:
                     jnp.where(good, scores[safe], 0.0),
                     jnp.where(good, labels, 0).astype(jnp.int32), num)
 
+        double_flip = bool(self.model_cfg.get("DOUBLE_FLIP", False))
         parts = []
         for preds, group in zip(preds_all, self.group_labels):
-            out = jax.vmap(
-                lambda p, c, v: one_group(p, c, v, group)
-            )(preds, vox["coords"], vox["valid"])
+            if double_flip:
+                mp, mc, mv = self._merge_double_flip(
+                    preds, vox["coords"], vox["valid"])
+                out = jax.vmap(
+                    lambda p, c, v: one_group(p, c, v, group, activated=True)
+                )(mp, mc, mv)
+            else:
+                out = jax.vmap(
+                    lambda p, c, v: one_group(p, c, v, group)
+                )(preds, vox["coords"], vox["valid"])
             parts.append(out)
         boxes = jnp.concatenate([p[0] for p in parts], axis=1)
         scores = jnp.concatenate([p[1] for p in parts], axis=1)

@@ -504,68 +504,41 @@ def win_downsample(coords, valid, in_shape, out_shape, max_out: int,
     return out_ids.astype(jnp.int32), out_coords, out_valid
 
 
-def win_inverse_conv(coarse_ids, coarse_feats, fine_coords, fine_valid,
-                     in_shape, out_shape, weights, kernel_size=(3, 3, 3),
-                     stride=(2, 2, 2), padding=(1, 1, 1), block: int = 256,
-                     window: int = 512, precision=None):
+def win_inverse_conv(coarse_coords, coarse_valid, coarse_feats, fine_ids,
+                     fine_valid, fine_shape, coarse_shape, weights,
+                     kernel_size=(3, 3, 3), stride=(2, 2, 2),
+                     padding=(1, 1, 1), block: int = 256, window: int = 512,
+                     precision=None):
     """Sparse INVERSE (transposed) conv on the windowed pipeline
     (spconv.SparseInverseConv3d semantics): output active set = the stored
-    fine-level set; out[f] = sum_t W_t^T-style contributions from the coarse
-    cell c with s*c + t - pad = f.
+    fine-level set; out[f] = sum_t W_t contributions from the coarse cell c
+    with s*c + t - pad = f.
 
-    Single sample. coarse_ids: (Vc,) ascending yxz ids of the coarse level
-    (shape `in_shape` of the FORWARD strided conv's output, i.e. the coarse
-    grid); fine_coords/valid: (Vf, ...) the fine level's active set (sorted
-    by fine yxz id, Vf % block == 0); weights: (K, Cin_coarse, Cout).
+    ONE windowed_conv call — the exact transpose of the forward strided
+    formulation: map each coarse cell into the FINE id space via
+    strided_base_ids (monotone, sorted, sentinel-padded), then for tap t the
+    match `base(c) + delta_t == fine_id(f)` is a constant id shift, i.e.
+    windowed_conv(src=coarse-in-fine-ids, tgt=fine_ids, deltas=-strided
+    deltas). Tap t of `weights` (K, Cin_coarse, Cout) is the kernel position
+    of the corresponding FORWARD conv (a fixed re-indexing of spconv's
+    inverse-conv kernel layout — identical expressiveness; noted for
+    checkpoint-import parity).
 
-    Per tap, the fine target's coarse contributor id is an axis-wise integer
-    division — not a constant delta — so each tap runs its own windowed
-    match. Order is preserved under the division, and non-divisible targets
-    get ODD ids while real ids are doubled (even): monotone AND unmatchable.
+    Single sample; coarse list must be sorted by its own yxz id (pipeline
+    invariant), fine_ids sorted with Vf % block == 0.
     Returns (out (Vf, Cout), overflow).
     """
-    kz, ky, kx = kernel_size
-    sz, sy, sx = (int(s) for s in stride)
-    pz, py, px = padding
-    offs = _kernel_offsets(kernel_size)  # (K, 3) centered zyx
-    center = np.asarray([(k - 1) // 2 for k in kernel_size])
-    taps = offs + center[None, :]        # 0-indexed kernel positions
-    stride_x_c, stride_y_c = _yxz_strides(in_shape)
-    sentinel_c = yxz_sentinel_start(in_shape)
-
-    vf = fine_coords.shape[0]
-    cout = weights.shape[-1]
-    src2 = coarse_ids * 2                # even ids
-    out = jnp.zeros((vf, cout), jnp.promote_types(coarse_feats.dtype,
-                                                  jnp.float32))
-    ovf = jnp.zeros((), jnp.int32)
-    fz = fine_coords[:, 0]
-    fy = fine_coords[:, 1]
-    fx = fine_coords[:, 2]
-    nz_c, ny_c, nx_c = (int(s) for s in in_shape)
-    for t in range(taps.shape[0]):
-        tz, tyy, tx = (int(v) for v in taps[t])
-        az = fz + pz - tz
-        ay = fy + py - tyy
-        ax = fx + px - tx
-        cz_, cy_, cx_ = az // sz, ay // sy, ax // sx
-        ok = (
-            fine_valid
-            & (az % sz == 0) & (ay % sy == 0) & (ax % sx == 0)
-            & (cz_ >= 0) & (cz_ < nz_c) & (cy_ >= 0) & (cy_ < ny_c)
-            & (cx_ >= 0) & (cx_ < nx_c)
-        )
-        cid = cy_ * stride_y_c + (cx_ + 1) * stride_x_c + (cz_ + 1)
-        # even = real (matches doubled src ids); odd = invalid, order-safe
-        tgt = jnp.where(ok, cid * 2, jnp.clip(cid, 0) * 2 + 1)
-        o_t, ov = windowed_conv(
-            src2, coarse_feats, tgt.astype(jnp.int32), weights[t:t + 1],
-            jnp.zeros((1,), jnp.int32), block=block, window=window,
-            precision=precision, sentinel_start=sentinel_c * 2)
-        out = out + o_t
-        ovf = ovf + ov
+    base = strided_base_ids(coarse_coords, coarse_valid, stride,
+                            fine_shape, coarse_shape)
+    deltas = jnp.asarray(
+        strided_deltas(kernel_size, stride, padding, fine_shape))
+    out, ovf = windowed_conv(
+        base, jnp.where(coarse_valid[:, None], coarse_feats, 0.0),
+        fine_ids, weights, -deltas, block=block, window=window,
+        precision=precision,
+        sentinel_start=yxz_sentinel_start(fine_shape))
     out = jnp.where(fine_valid[:, None], out, 0.0)
-    return out.astype(coarse_feats.dtype), ovf
+    return out, ovf
 
 
 def bev_merge(coords_list, valid_list, feats_list, scales, bev_shape,

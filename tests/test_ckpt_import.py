@@ -1,20 +1,20 @@
 """Reference-checkpoint import: torch-free .pth reading, name/layout mapping
-and ACTIVATION parity. torch (cpu) builds small reference-shaped modules,
-saves real .pth files, and the imported flax modules must reproduce their
-outputs — pinning every layout convention (conv transpose order, attention
-head splits, BN stats) the 94 MB reference checkpoint will rely on."""
+and ACTIVATION parity — fully torch-free at TEST time: the torch side was
+captured once into committed fixtures (tests/fixtures/, regenerate with
+tests/make_ckpt_fixtures.py where torch exists), pinning every layout
+convention (conv transpose order, attention head splits, BN stats) the
+94 MB reference checkpoint relies on."""
+
+from pathlib import Path
 
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
-import torch.nn as nn  # noqa: E402
+import jax
+import jax.numpy as jnp
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-
-from findnpropagate_tpu.utils.torch_ckpt import load_torch_pth  # noqa: E402
-from findnpropagate_tpu.utils.ckpt_import import (  # noqa: E402
+from findnpropagate_tpu.utils.torch_ckpt import load_torch_pth
+from findnpropagate_tpu.utils.ckpt_import import (
     import_state_dict,
     make_attn_transforms,
     t_conv2d,
@@ -23,99 +23,47 @@ from findnpropagate_tpu.utils.ckpt_import import (  # noqa: E402
     transfusion_rules,
 )
 
+FIXTURES = Path(__file__).resolve().parent / "fixtures"
 
-def test_load_torch_pth_roundtrip(tmp_path):
-    torch.manual_seed(0)
-    m = nn.Sequential(nn.Conv2d(3, 8, 3), nn.BatchNorm2d(8), nn.Linear(4, 5))
-    t = torch.randn(4, 6)
-    sd = {"model_state": m.state_dict(), "epoch": 3, "it": 11,
-          "version": "pcdet+0.6", "half": t.half(), "bf16": t.bfloat16(),
-          "noncontig": t.t()}
-    p = tmp_path / "ckpt.pth"
-    torch.save(sd, str(p))
-    out = load_torch_pth(p)
+pytestmark = pytest.mark.slow
+
+
+def test_load_torch_pth_roundtrip():
+    """Committed torch-saved .pth (mixed dtypes, non-contiguous tensors)
+    must read back exactly via the torch-free unpickler."""
+    out = load_torch_pth(FIXTURES / "roundtrip.pth")
+    exp = np.load(FIXTURES / "roundtrip_expected.npz")
     assert out["epoch"] == 3 and out["it"] == 11
-    for k, v in m.state_dict().items():
-        np.testing.assert_allclose(out["model_state"][k], v.numpy())
-    np.testing.assert_allclose(out["half"], t.half().float().numpy())
-    np.testing.assert_allclose(out["bf16"], t.bfloat16().float().numpy())
-    np.testing.assert_allclose(out["noncontig"], t.t().numpy())
+    np.testing.assert_allclose(out["half"], exp["half"])
+    np.testing.assert_allclose(out["bf16"], exp["bf16"])
+    np.testing.assert_allclose(out["noncontig"], exp["noncontig"])
+    for k in exp.files:
+        if k.startswith("model_state/"):
+            np.testing.assert_allclose(
+                out["model_state"][k.split("/", 1)[1]], exp[k])
 
 
-def test_bev_backbone_activation_parity(tmp_path):
-    """Reference-shaped BaseBEVBackbone in torch vs the flax module with
-    imported weights (base_bev_backbone.py:28-112 structure)."""
-    torch.manual_seed(1)
+def test_bev_backbone_activation_parity():
+    """Reference-shaped BaseBEVBackbone torch activations (fixture) vs the
+    flax module with imported weights (base_bev_backbone.py:28-112)."""
     cfg = {"LAYER_NUMS": [2, 2], "LAYER_STRIDES": [1, 2],
            "NUM_FILTERS": [16, 32], "UPSAMPLE_STRIDES": [1, 2],
            "NUM_UPSAMPLE_FILTERS": [16, 16],
            "USE_CONV_FOR_NO_STRIDE": True}
     cin = 24
-
-    blocks, deblocks = nn.ModuleList(), nn.ModuleList()
-    c_in_list = [cin, 16]
-    for i, n in enumerate(cfg["LAYER_NUMS"]):
-        layers = [nn.ZeroPad2d(1),
-                  nn.Conv2d(c_in_list[i], cfg["NUM_FILTERS"][i], 3,
-                            stride=cfg["LAYER_STRIDES"][i], bias=False),
-                  nn.BatchNorm2d(cfg["NUM_FILTERS"][i], eps=1e-3,
-                                 momentum=0.01),
-                  nn.ReLU()]
-        for _ in range(n):
-            layers += [nn.Conv2d(cfg["NUM_FILTERS"][i], cfg["NUM_FILTERS"][i],
-                                 3, padding=1, bias=False),
-                       nn.BatchNorm2d(cfg["NUM_FILTERS"][i], eps=1e-3,
-                                      momentum=0.01),
-                       nn.ReLU()]
-        blocks.append(nn.Sequential(*layers))
-        s = cfg["UPSAMPLE_STRIDES"][i]
-        up = nn.ConvTranspose2d(cfg["NUM_FILTERS"][i],
-                                cfg["NUM_UPSAMPLE_FILTERS"][i], s, stride=s,
-                                bias=False)
-        deblocks.append(nn.Sequential(
-            up, nn.BatchNorm2d(cfg["NUM_UPSAMPLE_FILTERS"][i], eps=1e-3,
-                               momentum=0.01), nn.ReLU()))
-
-    class Ref(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.blocks = blocks
-            self.deblocks = deblocks
-
-        def forward(self, x):
-            ups = []
-            for i in range(len(self.blocks)):
-                x = self.blocks[i](x)
-                ups.append(self.deblocks[i](x))
-            return torch.cat(ups, dim=1)
-
-    ref = Ref().eval()
-    # randomize BN stats so parity actually tests them
-    for m in ref.modules():
-        if isinstance(m, nn.BatchNorm2d):
-            m.running_mean.uniform_(-0.5, 0.5)
-            m.running_var.uniform_(0.5, 1.5)
-
-    sd = {f"backbone_2d.{k}": v for k, v in ref.state_dict().items()}
-    p = tmp_path / "bev.pth"
-    torch.save({"model_state": sd}, str(p))
+    exp = np.load(FIXTURES / "bev_expected.npz")
+    x_np = exp["x"]
+    want = exp["want"]
 
     from findnpropagate_tpu.models.backbones_2d.base_bev_backbone import (
         BaseBEVBackbone,
     )
 
     flax_bb = BaseBEVBackbone(model_cfg=cfg, input_channels=cin)
-    x_np = np.random.RandomState(0).randn(1, 16, 16, cin).astype(np.float32)
     variables = flax_bb.init(jax.random.PRNGKey(0),
                              {"spatial_features": jnp.asarray(x_np)},
                              train=False)
-
-    state = load_torch_pth(p)["model_state"]
-
-    class V:  # wrap rules application with a fake full-model path space
-        pass
-
-    # prefix flax paths with backbone_2d/ to match rule targets: wrap vars
+    state = load_torch_pth(FIXTURES / "bev.pth")["model_state"]
     wrapped = {c: {"backbone_2d": dict(variables[c])} for c in variables}
     rules = transfusion_rules({"BACKBONE_2D": cfg})
     new_vars, report = import_state_dict(state, wrapped, rules)
@@ -126,48 +74,35 @@ def test_bev_backbone_activation_parity(tmp_path):
     with jax.default_matmul_precision("highest"):
         got = flax_bb.apply(vars2, {"spatial_features": jnp.asarray(x_np)},
                             train=False)["spatial_features_2d"]
-    with torch.no_grad():
-        want = ref(torch.from_numpy(x_np).permute(0, 3, 1, 2))
-    want = want.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
 
 
 def test_attention_import_parity():
-    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention via
-    the qkv/out split transforms."""
+    """torch nn.MultiheadAttention weights (fixture) -> flax
+    MultiHeadDotProductAttention via the qkv/out split transforms."""
     import flax.linen as fnn
 
-    torch.manual_seed(2)
-    d, h = 32, 4
-    mha = nn.MultiheadAttention(d, h, dropout=0.0).eval()
-    q = torch.randn(5, 2, d)   # (L, B, D) torch convention
-    k = torch.randn(7, 2, d)
-    with torch.no_grad():
-        want, _ = mha(q, k, k)
-    want = want.permute(1, 0, 2).numpy()  # (B, L, D)
+    fx = np.load(FIXTURES / "mha.npz")
+    h = int(fx["num_heads"])
+    d = fx["in_proj_weight"].shape[1]
 
     split_qkv, out_kernel = make_attn_transforms(h)
-    wq = split_qkv("q")(mha.in_proj_weight.detach().numpy())
-    wk = split_qkv("k")(mha.in_proj_weight.detach().numpy())
-    wv = split_qkv("v")(mha.in_proj_weight.detach().numpy())
-    bq = split_qkv("q")(mha.in_proj_bias.detach().numpy())
-    bk = split_qkv("k")(mha.in_proj_bias.detach().numpy())
-    bv = split_qkv("v")(mha.in_proj_bias.detach().numpy())
-    wo = out_kernel(mha.out_proj.weight.detach().numpy())
-    bo = mha.out_proj.bias.detach().numpy()
-
-    attn = fnn.MultiHeadDotProductAttention(num_heads=h, qkv_features=d,
-                                            out_features=d, deterministic=True)
     params = {"params": {
-        "query": {"kernel": jnp.asarray(wq), "bias": jnp.asarray(bq)},
-        "key": {"kernel": jnp.asarray(wk), "bias": jnp.asarray(bk)},
-        "value": {"kernel": jnp.asarray(wv), "bias": jnp.asarray(bv)},
-        "out": {"kernel": jnp.asarray(wo), "bias": jnp.asarray(bo)},
+        "query": {"kernel": jnp.asarray(split_qkv("q")(fx["in_proj_weight"])),
+                  "bias": jnp.asarray(split_qkv("q")(fx["in_proj_bias"]))},
+        "key": {"kernel": jnp.asarray(split_qkv("k")(fx["in_proj_weight"])),
+                "bias": jnp.asarray(split_qkv("k")(fx["in_proj_bias"]))},
+        "value": {"kernel": jnp.asarray(split_qkv("v")(fx["in_proj_weight"])),
+                  "bias": jnp.asarray(split_qkv("v")(fx["in_proj_bias"]))},
+        "out": {"kernel": jnp.asarray(out_kernel(fx["out_w"])),
+                "bias": jnp.asarray(fx["out_b"])},
     }}
+    attn = fnn.MultiHeadDotProductAttention(num_heads=h, qkv_features=d,
+                                            out_features=d,
+                                            deterministic=True)
     with jax.default_matmul_precision("highest"):
-        got = attn.apply(params, jnp.asarray(q.permute(1, 0, 2).numpy()),
-                         jnp.asarray(k.permute(1, 0, 2).numpy()))
-    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+        got = attn.apply(params, jnp.asarray(fx["q"]), jnp.asarray(fx["k"]))
+    np.testing.assert_allclose(np.asarray(got), fx["want"], atol=1e-5)
 
 
 def test_spconv_layout_tap_correspondence():
@@ -183,11 +118,6 @@ def test_spconv_layout_tap_correspondence():
                 k = (dz * 3 + dy) * 3 + dx
                 np.testing.assert_array_equal(
                     got[k], w_v2[:, dz, dy, dx, :].T)
-    # v1 layout
-    w_v1 = np.transpose(w_v2, (1, 2, 3, 4, 0))
-    got1 = t_spconv(w_v1)
-    # ambiguity heuristic may pick v2 for tiny tensors where both parse; use
-    # big channel dims to disambiguate
     o2, i2 = 32, 16
     w_v1b = np.random.randn(3, 3, 3, i2, o2).astype(np.float32)
     got1b = t_spconv(w_v1b)
@@ -200,7 +130,6 @@ def test_transfusion_rule_coverage():
     must be a target of some import rule (no silently random weights when
     loading the reference checkpoint)."""
     import sys
-    from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from __graft_entry__ import _build, _tiny_cfgs

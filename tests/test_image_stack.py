@@ -105,7 +105,7 @@ BEVFUSION_CFG = EDict({
     "VFE": {"NAME": "MeanVFE"},
     "BACKBONE_3D": {"NAME": "VoxelBackBone8x",
                     "CHANNELS": [4, 8, 8, 16, 16], "OUT_CHANNELS": 16,
-                    "SUBM_MODE": "windowed", "DENSE_FROM_LEVEL": 99,
+                    "SUBM_MODE": "windowed", "DENSE_FROM_LEVEL": 2,
                     "WINDOWED_BLOCK": 128, "WINDOWED_WINDOW": 512},
     "MAP_TO_BEV": {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 32},
     "IMAGE_BACKBONE": {"NAME": "SwinTransformer", "EMBED_DIMS": 8,

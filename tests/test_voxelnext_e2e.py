@@ -164,3 +164,26 @@ def test_loss_decreases(setup):
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.8, losses
     assert np.isfinite(losses).all()
+
+
+def test_double_flip_tta():
+    """Double-flip TTA: eval batches expand x4 at collate; the head's
+    merge_double_flip folds them back to B samples with valid boxes."""
+    import jax.numpy as jnp
+
+    data_cfg = copy.deepcopy(DATA_CFG)
+    data_cfg["DATA_PROCESSOR"][-1]["DOUBLE_FLIP"] = True
+    model_cfg = copy.deepcopy(MODEL_CFG)
+    model_cfg["DENSE_HEAD"]["DOUBLE_FLIP"] = True
+    ds, loader, _ = build_dataloader(
+        data_cfg, CLASS_NAMES, batch_size=2, training=False)
+    det = build_network(model_cfg, num_class=2, dataset=ds)
+    batch = next(iter(loader))
+    batch.pop("frame_id")
+    batch.pop("batch_size")
+    assert batch["points"].shape[0] == 8  # 2 samples x 4 flips
+    variables = det.init(jax.random.PRNGKey(0), batch)
+    out = det.apply(variables, batch, train=False)
+    dets = det.post_process(out)
+    assert dets.boxes.shape[0] == 2       # merged back to real batch
+    assert np.isfinite(np.asarray(dets.boxes)).all()

@@ -38,7 +38,7 @@ MODEL_CFG = EDict({
     "VFE": {"NAME": "MeanVFE"},
     "BACKBONE_3D": {"NAME": "VoxelBackBone8x",
                     "CHANNELS": [4, 8, 8, 16, 16], "OUT_CHANNELS": 16,
-                    "SUBM_MODE": "windowed", "DENSE_FROM_LEVEL": 99,
+                    "SUBM_MODE": "windowed", "DENSE_FROM_LEVEL": 2,
                     "WINDOWED_BLOCK": 128, "WINDOWED_WINDOW": 512},
     "MAP_TO_BEV": {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 32},
     "BACKBONE_2D": {"NAME": "BaseBEVBackbone", "LAYER_NUMS": [2],
@@ -75,13 +75,10 @@ MODEL_CFG = EDict({
         "REG_FC": [32],
         "DP_RATIO": 0.0,
         "ROI_GRID_POOL": {
-            "FEATURES_SOURCE": ["x_conv3", "x_conv4"],
+            "FEATURES_SOURCE": ["x_conv2"],
             "GRID_SIZE": 4,
             "POOL_LAYERS": {
-                "x_conv3": {"MLPS": [[16, 16]], "POOL_RADIUS": [1.2],
-                            "NSAMPLE": [8], "POOL_METHOD": "max_pool",
-                            "QUERY_RANGES": [[4, 4, 4]]},
-                "x_conv4": {"MLPS": [[16, 16]], "POOL_RADIUS": [2.4],
+                "x_conv2": {"MLPS": [[16, 16]], "POOL_RADIUS": [0.8],
                             "NSAMPLE": [8], "POOL_METHOD": "max_pool",
                             "QUERY_RANGES": [[4, 4, 4]]},
             },
