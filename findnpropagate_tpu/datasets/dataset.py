@@ -158,6 +158,11 @@ class DatasetTemplate:
         if has_pseudo:
             batch["pseudo_boxes"] = pseudo_boxes
             batch["pseudo_samples_mask"] = pseudo_samples_mask
+        # first-stage proposal trajectories (MPPNet; per-sample fixed shape)
+        for key in ("roi_boxes", "roi_scores", "roi_labels"):
+            if all(key in s for s in batch_list):
+                batch[key] = np.stack([np.asarray(s[key])
+                                       for s in batch_list])
         # camera matrices/images for the OV + fusion pipelines
         for key in ("lidar2image", "camera2lidar", "camera_intrinsics",
                     "camera_imgs", "img_aug_matrix", "lidar_aug_matrix",

@@ -298,6 +298,23 @@ class Detector3D:
         return loss, (tb, mut)
 
     def post_process(self, out_batch, max_det: int = 256):
+        if "mppnet_preds" in out_batch:
+            from ..post_processing import post_process_mppnet
+
+            pc = self.post_cfg
+            nms_cfg = pc["NMS_CONFIG"]
+            return post_process_mppnet(
+                out_batch["batch_cls_preds"][..., 0],
+                out_batch["batch_box_preds"],
+                out_batch["batch_roi_labels"],
+                out_batch.get("roi_valid"),
+                float(nms_cfg["NMS_THRESH"]),
+                score_thresh=float(pc.get("SCORE_THRESH", 0.1)),
+                nms_pre=int(nms_cfg.get("NMS_PRE_MAXSIZE", 1024)),
+                nms_post=int(nms_cfg.get("NMS_POST_MAXSIZE", 256)),
+                not_apply_nms_for_vel=bool(
+                    pc.get("NOT_APPLY_NMS_FOR_VEL", False)),
+            )
         if "rcnn_iou" in out_batch:
             # two-stage IoU head: stage-2 scores on stage-1 boxes
             from ..post_processing import post_process_two_stage
@@ -437,7 +454,20 @@ def build_detector(model_cfg, num_class, dataset):
 
         head_tools = CaddnTools(head_tools)
 
-    if "ROI_HEAD" in model_cfg and (
+    if model_cfg.get("ROI_HEAD", {}).get("NAME") == "MPPNetHead":
+        # MPPNet: proposal-refinement only, no first stage inside the model
+        # (mppnet.py:36-42 — loss is the roi head's alone)
+        from ..roi_heads.mppnet_head import mppnet_loss
+
+        roi_cfg = model_cfg["ROI_HEAD"]
+
+        @dataclass
+        class MPPNetTools:
+            def compute_loss(self, out_batch):
+                return mppnet_loss(out_batch, roi_cfg)
+
+        head_tools = MPPNetTools()
+    elif "ROI_HEAD" in model_cfg and (
             head_tools is not None or "POINT_HEAD" in model_cfg):
         roi_name = model_cfg["ROI_HEAD"]["NAME"]
         if roi_name == "SECONDHead":

@@ -135,3 +135,51 @@ def post_process_two_stage(rcnn_scores, rois, roi_labels, roi_valid,
     boxes, scores_o, labels_o, count = jax.vmap(one)(rois, scores,
                                                      roi_labels)
     return Detections(boxes, scores_o, labels_o, count)
+
+
+def post_process_mppnet(cls_probs, box_preds, roi_labels, roi_valid,
+                        nms_thresh, score_thresh: float = 0.1,
+                        nms_pre: int = 1024, nms_post: int = 256,
+                        not_apply_nms_for_vel: bool = False):
+    """MPPNet post-processing (mppnet.py:44-180): scores are ALREADY
+    normalized (stage-1 blended), labels come from the ROIs, and with
+    NOT_APPLY_NMS_FOR_VEL vehicles (label 1) skip NMS entirely while
+    pedestrians/cyclists are NMS'd.
+
+    cls_probs (B, M); box_preds (B, M, 7+); roi_labels (B, M)."""
+    scores = jnp.where(roi_valid, cls_probs, 0.0) \
+        if roi_valid is not None else cls_probs
+
+    def one(boxes_s, scores_s, labels_s):
+        above = scores_s >= score_thresh
+        if not_apply_nms_for_vel:
+            is_car = labels_s == 1
+            idx, _ = nms_bev(
+                boxes_s, jnp.where(is_car, 0.0, scores_s), nms_thresh,
+                pre_maxsize=nms_pre, post_maxsize=nms_post,
+                valid_mask=above & ~is_car,
+            )
+            keep = jnp.zeros(scores_s.shape, bool).at[
+                jnp.clip(idx, 0)].set(idx >= 0, mode="drop")
+            keep = keep | (is_car & above)
+        else:
+            idx, _ = nms_bev(
+                boxes_s, scores_s, nms_thresh,
+                pre_maxsize=nms_pre, post_maxsize=nms_post,
+                valid_mask=above,
+            )
+            keep = jnp.zeros(scores_s.shape, bool).at[
+                jnp.clip(idx, 0)].set(idx >= 0, mode="drop")
+        key = jnp.where(keep, scores_s, -1.0)
+        topv, top = jax.lax.top_k(key, min(nms_post, key.shape[0]))
+        good = topv > 0
+        return (
+            jnp.where(good[:, None], boxes_s[top], 0.0),
+            jnp.where(good, scores_s[top], 0.0),
+            jnp.where(good, labels_s[top], 0),
+            jnp.sum(good.astype(jnp.int32)),
+        )
+
+    boxes, scores_o, labels_o, count = jax.vmap(one)(
+        box_preds, scores, roi_labels)
+    return Detections(boxes, scores_o, labels_o, count)

@@ -121,6 +121,7 @@ def sample_rois_for_rcnn(rng, rois, roi_scores, roi_labels, roi_valid,
         "gt_labels_of_rois": gt_labels[gt_assignment[take]],
         "gt_iou_of_rois": max_overlaps[take],
         "roi_valid": roi_valid[take],
+        "take": take,  # source indices (MPPNet gathers trajectories by it)
     }
 
     # regression / classification labels (proposal_target_layer.py:36-57)
