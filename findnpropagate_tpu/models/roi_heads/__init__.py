@@ -1,4 +1,4 @@
-from .mppnet_head import MPPNetHead  # noqa: F401
+from .mppnet_head import MPPNetHead, MPPNetHeadE2E  # noqa: F401
 from .parta2_head import PartA2FCHead  # noqa: F401
 from .pointrcnn_head import PointRCNNHead  # noqa: F401
 from .pvrcnn_head import PVRCNNHead  # noqa: F401
@@ -12,4 +12,5 @@ ROI_HEAD_REGISTRY = {
     "VoxelRCNNHead": VoxelRCNNHead,
     "PartA2FCHead": PartA2FCHead,
     "MPPNetHead": MPPNetHead,
+    "MPPNetHeadE2E": MPPNetHeadE2E,
 }

@@ -546,3 +546,256 @@ def mppnet_loss(out_batch, model_cfg):
     total = loss_reg + loss_cls
     tb["rcnn_loss"] = total
     return total, tb
+
+
+# ---------------------------------------------------------------------------
+# MPPNet E2E: online streaming with a functional memory bank
+# (mppnet_memory_bank_e2e.py:15-580, detectors/mppnet_e2e.py:12-120)
+# ---------------------------------------------------------------------------
+
+def transform_boxes_to_current(boxes, pose_pre, pose_cur):
+    """Move per-frame boxes (R, C>=9) from pose_pre's frame into
+    pose_cur's (waymo_dataset.transform_prebox_to_current, in-graph)."""
+    r = boxes.shape[0]
+    xyz1 = jnp.concatenate([boxes[:, :3], jnp.ones((r, 1))], axis=-1)
+    world = xyz1 @ pose_pre.T
+    world = world.at[:, 3].set(1.0)
+    cur = world @ jnp.linalg.inv(pose_cur.T)
+    out = boxes.at[:, 0:3].set(cur[:, :3])
+    v3 = jnp.concatenate([boxes[:, 7:9], jnp.zeros((r, 1))], axis=-1)
+    vg = v3 @ pose_pre[:3, :3].T
+    vc = vg @ jnp.linalg.inv(pose_cur[:3, :3].T)
+    out = out.at[:, 7:9].set(vc[:, :2])
+    dyaw = jnp.arctan2(pose_pre[1, 0], pose_pre[0, 0]) \
+        - jnp.arctan2(pose_cur[1, 0], pose_cur[0, 0])
+    return out.at[:, 6].add(dyaw)
+
+
+def init_mppnet_memory(rois11, pose, num_frames: int, num_proxy: int,
+                       hidden: int):
+    """First-frame memory: every roi slot holds the current frame
+    (mppnet_e2e.py:46-50), features zeroed (gated off by sample_idx).
+    rois11 (B, R, 11); pose (B, 4, 4)."""
+    b, r, _ = rois11.shape
+    return {
+        "rois": jnp.broadcast_to(rois11[:, None],
+                                 (b, num_frames, r, rois11.shape[-1])),
+        "poses": jnp.broadcast_to(pose[:, None], (b, num_frames, 4, 4)),
+        "feature": jnp.zeros((b, num_frames - 1, r, num_proxy, hidden)),
+    }
+
+
+def mppnet_e2e_push_rois(memory, rois11, pose):
+    """Pre-head roll: insert the new frame's proposals at slot 0
+    (mppnet_e2e.py:52-58)."""
+    return dict(
+        memory,
+        rois=jnp.concatenate(
+            [rois11[:, None], memory["rois"][:, :-1]], axis=1),
+        poses=jnp.concatenate(
+            [pose[:, None], memory["poses"][:, :-1]], axis=1),
+    )
+
+
+def mppnet_e2e_push_feature(memory, feat):
+    """Post-head roll: slot 0 becomes the frame just processed
+    (mppnet_e2e.py:66-71). feat (B, R, G, D)."""
+    return dict(
+        memory,
+        feature=jnp.concatenate(
+            [feat[:, None], memory["feature"][:, :-1]], axis=1),
+    )
+
+
+class MPPNetHeadE2E(nn.Module):
+    """Streaming MPPNet: one frame of points per step, past frames served
+    from the feature memory. Weight-compatible with MPPNetHead (same
+    submodule names) so offline-trained checkpoints drop in.
+
+    Batch keys: `memory_rois` (B, F, R, 11) per-frame-coords proposals
+    (slot 0 = current), `poses` (B, F, 4, 4), `memory_feature`
+    (B, F-1, R, G, D), `sample_idx` (B,) int — frames seen so far;
+    `points`/`points_mask` hold ONLY the current sweep set. Inference
+    only — training uses the offline MPPNetHead (the reference E2E
+    detector trains just its RPN, mppnet_e2e.py:88-99)."""
+
+    model_cfg: Any
+    point_cloud_range: tuple = ()
+    voxel_size: tuple = ()
+    num_class: int = 1
+
+    @nn.compact
+    def __call__(self, batch, train: bool):
+        assert not train, "MPPNetHeadE2E is inference-only"
+        cfg = self.model_cfg
+        tcfg = cfg["Transformer"]
+        num_frames = int(tcfg["num_frames"])
+        num_groups = int(tcfg["num_groups"])
+        p_pts = int(tcfg["num_lidar_points"])
+        g_pts = int(tcfg["num_proxy_points"])
+        grid = int(cfg["ROI_GRID_POOL"]["GRID_SIZE"])
+        hidden = int(cfg["TRANS_INPUT"])
+        coder = ResidualCoder()
+        code = coder.code_size
+
+        mem_rois = batch["memory_rois"]                       # (B,F,R,11)
+        poses = batch["poses"]
+        b, f, r, _ = mem_rois.shape
+        assert f == num_frames
+
+        # memory frames -> current coordinates (mppnet_e2e forward:24-33)
+        def to_cur(rois_f, poses_f):
+            return jnp.stack([
+                transform_boxes_to_current(
+                    rois_f[i, :, :9], poses_f[i], poses_f[0])
+                for i in range(num_frames)], 0)
+
+        proposals = jax.vmap(to_cur)(mem_rois, poses)         # (B,F,R,9)
+        prop_valid = jnp.abs(proposals[..., :6]).sum(-1) > 0
+        traj, valid_len, assign = jax.vmap(generate_trajectory)(
+            proposals, prop_valid)
+
+        rois = traj[:, 0]
+        roi_scores0 = mem_rois[:, 0, :, 9]
+        roi_labels = mem_rois[:, 0, :, 10].astype(jnp.int32)
+        empty_mask = jnp.abs(rois[..., :6]).sum(-1) <= 0
+
+        # current-frame crop + geometry features only (the bank serves
+        # the rest; mppnet_memory_bank_e2e.py forward:88-108)
+        pts = batch["points"]
+        pmask = batch["points_mask"]
+        feat_dim = pts.shape[-1] - 1 \
+            if not bool(cfg.get("USE_TIMESTAMP", False)) else pts.shape[-1]
+        crop, crop_valid = jax.vmap(
+            lambda p, m, bx: crop_points_to_rois(p, m, bx, p_pts)
+        )(pts, pmask, rois[..., :7])
+        crop = crop[..., :feat_dim]                           # (B,R,P,C)
+
+        anchor9 = box_anchor_points(traj[..., :7])            # (B,F,R,9,3)
+        anchor9 = anchor9.transpose(0, 2, 1, 3, 4)            # (B,R,F,9,3)
+        diag = jnp.linalg.norm(
+            traj[..., 3:6], axis=-1).transpose(0, 2, 1)       # (B,R,F)
+        sph = spherical_offsets(crop[..., :3], anchor9[:, :, 0],
+                                diag[:, :, 0])                # (B,R,P,27)
+        geo_in = jnp.concatenate([sph, crop[..., 3:]], axis=-1)
+        num_radius = len(cfg["ROI_GRID_POOL"]["POOL_RADIUS"])
+        geo = MLPStack(64, hidden // num_radius, 3,
+                       name="up_dimension_geometry")(geo_in)
+
+        proxies = proxy_grid_points(
+            traj[..., :7].transpose(0, 2, 1, 3), grid)        # (B,R,F,G,3)
+        sa = SALayer(
+            mlps=tuple(tuple(m) for m in cfg["ROI_GRID_POOL"]["MLPS"]),
+            radii=tuple(float(x) for x in
+                        cfg["ROI_GRID_POOL"]["POOL_RADIUS"]),
+            nsamples=tuple(int(x) for x in cfg["ROI_GRID_POOL"]["NSAMPLE"]),
+            name="roi_grid_pool")
+        br = b * r
+        cur_feat = sa(
+            proxies[:, :, 0].reshape(br, g_pts, 3),
+            jnp.ones((br, g_pts), bool),
+            crop[..., :3].reshape(br, p_pts, 3),
+            crop_valid.reshape(br, p_pts),
+            geo.reshape(br, p_pts, -1), train)
+        cur_feat = cur_feat.reshape(b, r, g_pts, hidden)      # (B,R,G,D)
+        batch["geometry_feature_memory"] = cur_feat
+
+        # assemble per-trajectory-frame geometry from the bank
+        sample_idx = batch["sample_idx"].astype(jnp.int32)    # (B,)
+        bank = batch["memory_feature"]                        # (B,F-1,R,G,D)
+        frames = [cur_feat]
+        for i in range(1, num_frames):
+            gathered = jnp.take_along_axis(
+                bank[:, i - 1], assign[:, i, :, None, None], axis=1)
+            usable = valid_len[:, i] \
+                & (sample_idx[:, None] >= i)                  # (B, R)
+            frames.append(jnp.where(
+                usable[..., None, None], gathered, cur_feat))
+        geo_feat = jnp.stack(frames, axis=2)                  # (B,R,F,G,D)
+        geo_feat = geo_feat.reshape(b, r, num_frames * g_pts, hidden)
+
+        # motion + trajectory-box branches (same as offline head)
+        prox_flat = proxies.reshape(b, r, num_frames * g_pts, 3)
+        sph_m = spherical_offsets(
+            prox_flat, anchor9[:, :, 0], diag[:, :, 0])
+        tstamp = jnp.repeat(
+            jnp.arange(num_frames, dtype=jnp.float32) * 0.1, g_pts)
+        tfeat = jnp.broadcast_to(
+            tstamp[None, None, :, None], (b, r, num_frames * g_pts, 1))
+        zeros2 = jnp.zeros((b, r, num_frames * g_pts, 2), jnp.float32)
+        motion = MLPStack(64, hidden, 3, name="up_dimension_motion")(
+            jnp.concatenate([sph_m, zeros2, tfeat], axis=-1))
+
+        feats = geo_feat + motion
+        if bool(cfg.get("USE_TRAJ_EMPTY_MASK", False)):
+            feats = jnp.where(empty_mask[..., None, None], 0.0, feats)
+
+        tstep = jnp.arange(num_frames, dtype=jnp.float32)[:, None] * 0.1
+        box_seq = jnp.concatenate(
+            [traj[..., :7],
+             jnp.broadcast_to(tstep[None, :, None],
+                              (b, num_frames, r, 1))], axis=-1)
+        box_seq = box_seq.at[..., 0:3].add(-box_seq[:, 0:1, :, 0:3])
+        ry0 = box_seq[:, 0, :, 6] % (2 * np.pi)
+        flat = box_seq.transpose(0, 2, 1, 3).reshape(b * r, num_frames, 8)
+        xyz = rotate_points_along_z(flat[..., 0:3], -ry0.reshape(-1))
+        flat = flat.at[..., 0:3].set(xyz).at[..., 6].set(0.0)
+        box_reg, box_feat = SeqBoxPointNet(
+            model_cfg=cfg, code_size=code, name="seqboxembed")(flat, train)
+
+        pos = None
+        if bool(tcfg.get("use_grid_pos", {}).get("enabled", False)):
+            gidx = jnp.asarray(
+                [[i, j, k] for i in range(grid) for j in range(grid)
+                 for k in range(grid)], jnp.float32)
+            pos = MLPStack(256, hidden, 2, name="grid_pos_embeded")(gidx)
+
+        hs, tokens = MPPNetTransformer(
+            model_cfg=tcfg, grid_size=grid, name="transformer")(
+            feats.reshape(b * r, num_frames * g_pts, hidden), pos, train)
+
+        point_cls = nn.Dense(1, name="class_embed")(tokens[:, :, 0])
+        for gi in range(num_groups):
+            # materialize bbox_embed params for checkpoint compatibility
+            MLPStack(int(tcfg["hidden_dim"]), code * self.num_class, 4,
+                     name=f"bbox_embed_{gi}")(tokens[:, :, gi])
+        joint_reg = MLPStack(
+            int(tcfg["hidden_dim"]), code * self.num_class, 4,
+            name="jointembed")(
+            jnp.concatenate([hs, box_feat], axis=-1))
+
+        rcnn_cls = point_cls[-1].reshape(b, r)
+        rcnn_reg = joint_reg.reshape(b, r, code)
+
+        anchors = jnp.concatenate(
+            [jnp.zeros_like(rois[..., :3]), rois[..., 3:6],
+             jnp.zeros_like(rois[..., 6:7])], axis=-1)
+        dec = coder.decode(rcnn_reg.reshape(-1, code),
+                           anchors.reshape(-1, code))
+        xyz = rotate_points_along_z(
+            dec[:, None, 0:3], rois[..., 6].reshape(-1))[:, 0]
+        dec = dec.at[:, 0:3].set(xyz + rois[..., 0:3].reshape(-1, 3))
+        dec = dec.at[:, 6].add(rois[..., 6].reshape(-1))
+        boxes_out = dec.reshape(b, r, code)
+        boxes_out = jnp.concatenate([boxes_out, rois[..., 7:9]], axis=-1)
+        batch["batch_box_preds"] = boxes_out
+
+        score = jax.nn.sigmoid(rcnn_cls)
+        if bool(cfg.get("AVG_STAGE1_SCORE", False)):
+            stage1 = jnp.clip(roi_scores0, 1e-6, 1.0)
+            iou_w = cfg.get("IOU_WEIGHT")
+            if iou_w is not None:
+                w_car, w_ped = float(iou_w[0]), float(iou_w[1])
+                car = roi_labels == 1
+                score = jnp.where(
+                    car,
+                    score ** w_car * stage1 ** (1.0 - w_car),
+                    score ** w_ped * stage1 ** (1.0 - w_ped))
+            else:
+                score = jnp.sqrt(score * stage1)
+        batch["batch_cls_preds"] = score[..., None]
+        batch["cls_preds_normalized"] = True
+        batch["batch_roi_labels"] = roi_labels
+        batch["roi_valid"] = prop_valid[:, 0] & ~empty_mask
+        batch["mppnet_preds"] = {"rcnn_cls": rcnn_cls, "rcnn_reg": rcnn_reg}
+        return batch

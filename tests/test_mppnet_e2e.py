@@ -36,8 +36,9 @@ def test_generate_trajectory_matches_loop_oracle():
     props[..., 7:9] = rng.uniform(-0.3, 0.3, (f, r, 2))
     valid = np.ones((f, r), bool)
 
-    traj, vlen = generate_trajectory(jnp.asarray(props), jnp.asarray(valid))
-    traj, vlen = np.asarray(traj), np.asarray(vlen)
+    traj, vlen, assign = generate_trajectory(
+        jnp.asarray(props), jnp.asarray(valid))
+    traj, vlen, assign = np.asarray(traj), np.asarray(vlen), np.asarray(assign)
 
     # loop oracle (mppnet_head.py:635-659)
     exp = props[0].copy()
@@ -317,3 +318,71 @@ def test_waymo_sequence_predbox_loading(tmp_path):
     batch = ds.collate_batch([sample, ds[3]])
     assert batch["roi_boxes"].shape == (2, 4, 8, 9)
     assert batch["roi_scores"].shape == (2, 4, 8)
+
+
+@pytest.mark.slow
+def test_mppnet_e2e_streaming_memory_bank():
+    """Online MPPNetE2E: 3 consecutive frames through the functional
+    memory bank; offline-trained param structure drops in
+    (mppnet_memory_bank_e2e.py + mppnet_e2e.py)."""
+    from findnpropagate_tpu.models.roi_heads.mppnet_head import (
+        MPPNetHeadE2E,
+        init_mppnet_memory,
+        mppnet_e2e_push_feature,
+        mppnet_e2e_push_rois,
+    )
+
+    cfg = _tiny_cfg()["ROI_HEAD"]
+    head = MPPNetHeadE2E(model_cfg=cfg, num_class=1)
+    rng = np.random.RandomState(1)
+    b, f, r, n = 1, 4, 6, 400
+    g_pts, hidden = 8, 32
+
+    def frame_inputs(t):
+        rois11 = np.zeros((b, r, 11), np.float32)
+        rois11[..., :2] = rng.uniform(-15, 15, (b, r, 2))
+        rois11[..., 2] = 0.3
+        rois11[..., 3:6] = rng.uniform(2, 4, (b, r, 3))
+        rois11[..., 6] = rng.uniform(-np.pi, np.pi, (b, r))
+        rois11[..., 9] = 0.8
+        rois11[..., 10] = rng.randint(1, 4, (b, r))
+        pose = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+        pose[:, 0, 3] = t * 1.0
+        pts = rng.uniform(-20, 20, (b, n, 6)).astype(np.float32)
+        pts[..., 5] = 0.0
+        return jnp.asarray(rois11), jnp.asarray(pose), jnp.asarray(pts)
+
+    variables = None
+    memory = None
+    for t in range(3):
+        rois11, pose, pts = frame_inputs(t)
+        if memory is None:
+            memory = init_mppnet_memory(rois11, pose, f, g_pts, hidden)
+        else:
+            memory = mppnet_e2e_push_rois(memory, rois11, pose)
+        batch = {
+            "points": pts, "points_mask": jnp.ones((b, n), bool),
+            "memory_rois": memory["rois"], "poses": memory["poses"],
+            "memory_feature": memory["feature"],
+            "sample_idx": jnp.full((b,), t, jnp.int32),
+        }
+        if variables is None:
+            variables = head.init(jax.random.PRNGKey(0), batch, False)
+        out = head.apply(variables, batch, False)
+        assert out["batch_box_preds"].shape == (b, r, 9)
+        assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+        feat = out["geometry_feature_memory"]
+        assert feat.shape == (b, r, g_pts, hidden)
+        memory = mppnet_e2e_push_feature(memory, feat)
+
+    # the bank rolled: slot 0 holds the latest frame's features
+    assert float(jnp.abs(memory["feature"][:, 0]).sum()) > 0
+
+    # param structure is a subset-match of the offline head (ckpt transfer)
+    det = build_detector(_tiny_cfg(), 3, _DS)
+    off_vars = det.init(jax.random.PRNGKey(0),
+                        _make_batch(np.random.RandomState(0), b=1, n=400))
+    off = off_vars["params"]["roi_head"]
+    on = variables["params"]
+    for k in on:
+        assert k in off, f"online param {k} missing offline"
