@@ -127,7 +127,18 @@ def bench_inference(batch_size: int, iters: int = 10):
     per_batch = _chain_times(
         lambda s, i: infer_chain(variables, batch, s + jnp.float32(i) * 0.013),
         s, iters)
-    return batch_size / per_batch
+
+    # occupancy audit (VERDICT r2): sparse throughput depends on per-level
+    # active counts; report them so the synthetic proxy is checkable
+    # against real nuScenes sweeps (~60k/55k/27k/13k at batch 1)
+    counts = None
+    try:
+        out = jax.jit(lambda v, b: det.apply(v, b, train=False)
+                      ["sparse_active_counts"])(variables, batch)
+        counts = [int(c) // batch_size for c in out]
+    except Exception:
+        pass
+    return batch_size / per_batch, counts
 
 
 def bench_train(batch_size: int, iters: int = 6):
@@ -162,6 +173,40 @@ def bench_train(batch_size: int, iters: int = 6):
     float(s0)
     per_batch = _chain_times(chain, s0, iters)
     return batch_size / per_batch
+
+
+def bench_latency(chain_len: int = 8, iters: int = 6):
+    """Device-side batch-1 latency: one execution runs `chain_len`
+    SEQUENTIAL forwards, each consuming the previous link's scalar in its
+    input perturbation (no replay, no DCE), so the per-execution relay/
+    dispatch overhead is amortized out and the per-link time approximates
+    true on-chip latency."""
+    import jax
+    import jax.numpy as jnp
+
+    det, variables, batch = build_transfusion_bench(1)
+    batch = jax.device_put(batch)
+
+    @jax.jit
+    def chain(variables, batch, seed):
+        s = seed
+        for i in range(chain_len):
+            b = dict(batch)
+            b["points"] = b["points"] * (
+                1.0 + (s % 1.0) * 1e-3 + jnp.float32(i) * 1e-5)
+            out = det.apply(variables, b, train=False)
+            d = det.post_process(out)
+            s = (jnp.nan_to_num(
+                jnp.sum(jnp.abs(d.boxes)) + jnp.sum(jnp.abs(d.scores)),
+                nan=0.11) + jnp.sum(d.count).astype(jnp.float32)) % 1.0
+        return s
+
+    s = chain(variables, batch, jnp.float32(0.271))
+    float(s)
+    per_exec = _chain_times(
+        lambda s, i: chain(variables, batch, s + jnp.float32(i) * 0.019),
+        s, iters)
+    return per_exec / chain_len
 
 
 def bench_seeker(num_dets: int = 96, num_points: int = 200000,
@@ -245,10 +290,23 @@ def main():
     # batch 4 currently exceeds the axon relay compile helper on the train
     # step (full nuScenes scale); 2 compiles and runs
     ap.add_argument("--mode", default="all",
-                    choices=["all", "infer", "seeker", "train"])
+                    choices=["all", "infer", "seeker", "train", "latency"])
+    ap.add_argument("--latency_chain", type=int, default=8)
     args, _ = ap.parse_known_args()
 
     extras = {}
+    if args.mode in ("all", "latency"):
+        try:
+            ms = bench_latency(args.latency_chain) * 1000.0
+            extras["latency_ms_per_scan"] = round(ms, 1)
+            print(json.dumps({
+                "metric": "inference_latency", "value": round(ms, 1),
+                "unit": "ms/scan (batch 1, device-side)",
+                "vs_baseline": round(80.0 / ms, 3),  # ~80 ms/scan A100
+            }))
+        except Exception as e:
+            print(json.dumps({"metric": "inference_latency",
+                              "error": repr(e)[:300]}))
     if args.mode in ("all", "seeker"):
         try:
             v = bench_seeker()
@@ -274,7 +332,9 @@ def main():
         except Exception as e:
             print(json.dumps({"metric": "train_step", "error": repr(e)[:300]}))
     if args.mode in ("all", "infer"):
-        v = bench_inference(args.batch_size)
+        v, counts = bench_inference(args.batch_size)
+        if counts is not None:
+            extras["active_voxels_per_level"] = counts
         print(json.dumps({
             "metric": "transfusion_lidar_nuscenes_inference",
             "value": round(v, 2),

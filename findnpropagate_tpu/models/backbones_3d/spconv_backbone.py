@@ -172,28 +172,43 @@ class _SparseStack(nn.Module):
         return block, window, swindow, prec
 
     def _win_conv(self, src_ids, src_feats, tgt_ids, w, deltas, block,
-                  window, prec, sent, train):
+                  window, prec, sent, train, scale=None, shift=None,
+                  relu=False):
         """Dispatch one windowed conv when SUBM_IMPL == 'pallas': the fused
         Pallas kernel on the inference path, and the differentiable wrapper
         (Pallas fwd + transposed-Pallas d_feats + XLA windowed dW) when
-        training — XLA windowed_conv otherwise."""
+        training — XLA windowed_conv otherwise. scale/shift/relu: fused
+        bias+BN(+relu) epilogue, pallas-eval only."""
         impl = str(self.model_cfg.get("SUBM_IMPL", "xla")).lower()
         if impl == "pallas":
             cd = jnp.float32 if prec is not None else jnp.bfloat16
+            interp = bool(self.model_cfg.get("PALLAS_INTERPRET", False))
             if not train:
                 from ...ops.pallas_sparse import windowed_conv_pallas
 
                 return windowed_conv_pallas(
                     src_ids, src_feats, tgt_ids, w, deltas, block=block,
-                    window=window, sentinel_start=sent, compute_dtype=cd)
+                    window=window, sentinel_start=sent, compute_dtype=cd,
+                    scale=scale, shift=shift, relu=relu, interpret=interp)
             from ...ops.pallas_sparse import windowed_conv_pallas_diff
 
             return windowed_conv_pallas_diff(
                 src_ids, src_feats, tgt_ids, w, deltas, block=block,
-                window=window, sentinel_start=sent, compute_dtype=cd)
+                window=window, sentinel_start=sent, compute_dtype=cd,
+                interpret=interp)
+        assert scale is None, "epilogue fusion is pallas-eval only"
         return windowed_conv(
             src_ids, src_feats, tgt_ids, w, deltas, block=block,
             window=window, precision=prec, sentinel_start=sent)
+
+    def _fuse_epilogue(self, train):
+        """True when bias+BN(+relu) should fold into the Pallas kernel."""
+        return (
+            not train
+            and str(self.model_cfg.get("SUBM_IMPL", "xla")).lower()
+            == "pallas"
+            and bool(self.model_cfg.get("FUSE_BN_EPILOGUE", True))
+        )
 
     def _win_entry(self, coords, valid, feats, shape, ovf_acc):
         """Sort the batch's active sets into yxz-id order and pad V to a
@@ -214,8 +229,12 @@ class _SparseStack(nn.Module):
         v = ids.shape[1]
         pad = (-v) % block
         if pad:
+            # pad ids must live in sentinel space (>= yxz_sentinel_start)
+            # even when every slot is valid, so the fused epilogue's
+            # id-based padding mask covers them
+            start = jnp.maximum(ids[:, -1:] + 1, yxz_sentinel_start(shape))
             ids = jnp.concatenate(
-                [ids, ids[:, -1:] + 1 + jnp.arange(pad)[None, :]], axis=1
+                [ids, start + jnp.arange(pad)[None, :]], axis=1
             )
             coords = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)),
                              constant_values=-1)
@@ -278,6 +297,19 @@ class _SparseStack(nn.Module):
             block, window, _, prec = self._win_cfg()
             deltas = jnp.asarray(yxz_offset_deltas(kernel, shape))
             sent = yxz_sentinel_start(shape)
+            if self._fuse_epilogue(train):
+                # bias + BN + relu + padding-mask all inside the kernel
+                bscale, bshift = bnmod.affine()
+                if b is not None:
+                    bshift = bshift + bscale * b
+                out, ovf = jax.vmap(
+                    lambda i, f: self._win_conv(
+                        i, f, i, w, deltas, block, window, prec, sent,
+                        train, scale=bscale, shift=bshift, relu=relu,
+                    )
+                )(ids, feats)
+                ovf_acc.append(jnp.sum(ovf))
+                return ("win", (ids, coords, valid, out), shape)
             out, ovf = jax.vmap(
                 lambda i, f: self._win_conv(
                     i, f, i, w, deltas, block, window, prec, sent, train,
@@ -329,6 +361,19 @@ class _SparseStack(nn.Module):
                                               out_shape)
             )(oc, ov)
             sent = strided_sentinel_start(in_shape)
+            if self._fuse_epilogue(train):
+                bscale, bshift = bnmod.affine()
+                if b is not None:
+                    bshift = bshift + bscale * b
+                out, ovf = jax.vmap(
+                    lambda si, sf, ti: self._win_conv(
+                        si, sf, ti, w, deltas, block, swindow, prec, sent,
+                        train, scale=bscale, shift=bshift, relu=True,
+                    )
+                )(ids, feats, base)
+                ovf_acc.append(jnp.sum(ovf))
+                level = ("win", (oi, oc, ov, out), out_shape)
+                return self._to_dense(level) if dense_out else level
             out, ovf = jax.vmap(
                 lambda si, sf, ti: self._win_conv(
                     si, sf, ti, w, deltas, block, swindow, prec, sent, train,
@@ -452,6 +497,20 @@ class _SparseStack(nn.Module):
         batch["multi_scale_3d_features"] = {
             "x_conv1": lvl1, "x_conv2": lvl2, "x_conv3": lvl3, "x_conv4": lvl4,
         }
+
+        def _count(lv):
+            kind, a, m = lv
+            if kind == "win":
+                return jnp.sum(a[2])
+            if kind == "sparse":
+                return jnp.sum(a.valid)
+            return jnp.sum(m)
+
+        # per-level active-voxel telemetry: sparse throughput depends on
+        # occupancy, so benches record these to make synthetic scenes
+        # auditable against real sweeps
+        batch["sparse_active_counts"] = jnp.stack(
+            [_count(lv) for lv in (lvl1, lvl2, lvl3, lvl4)])
         if ovf_acc:
             # runtime exactness check for the windowed formulation (ADVICE
             # r1): any nonzero count means a neighbor span exceeded the

@@ -31,16 +31,27 @@ class MaskedBatchNorm(nn.Module):
     epsilon: float = 1e-3
     momentum: float = 0.99
 
-    @nn.compact
-    def __call__(self, x, valid, train: bool):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        ra_mean = self.variable(
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,))
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,))
+        self.ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.features,))
         )
-        ra_var = self.variable(
+        self.ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,))
         )
+
+    def affine(self):
+        """Eval-mode BN as per-channel (scale, shift): y = x*scale + shift.
+        Used to fuse the BN into a conv kernel's epilogue."""
+        k = jax.lax.rsqrt(self.ra_var.value + self.epsilon) * self.scale
+        return k, self.bias - self.ra_mean.value * k
+
+    def __call__(self, x, valid, train: bool):
+        scale, bias = self.scale, self.bias
+        ra_mean, ra_var = self.ra_mean, self.ra_var
         if train:
             m = jnp.broadcast_to(valid[..., None], x.shape).astype(x.dtype)
             reduce_axes = tuple(range(x.ndim - 1))

@@ -123,7 +123,7 @@ class AnchorHeadTools:
     coder: ResidualCoder
 
     def assign(self, gt_boxes):
-        tac = self.model_cfg["TARGET_ASSIGNER_CONFIG"]
+        tac = self.model_cfg.get("TARGET_ASSIGNER_CONFIG", {})
         return assign_targets(
             jnp.asarray(self.anchors),
             jnp.asarray(self.anchor_class),

@@ -56,11 +56,11 @@ class AnchorHeadMulti(nn.Module):
         self.shared_bn = nn.BatchNorm()
 
         names = list(self.class_names)
-        self.head_groups = []
+        head_groups = []
         heads = []
         for hi, rpn_cfg in enumerate(cfg["RPN_HEAD_CFGS"]):
             group = [names.index(n) for n in rpn_cfg["HEAD_CLS_NAME"]]
-            self.head_groups.append(group)
+            head_groups.append(group)
             slots = np.where(np.isin(self._class_slots, group))[0]
             n_slots = len(slots)
             n_cls = len(group)
@@ -86,6 +86,7 @@ class AnchorHeadMulti(nn.Module):
                     name=f"h{hi}_dir")
             heads.append((tower, conv_cls, conv_box, conv_dir))
         self.heads = heads
+        self.head_groups = head_groups
 
     def __call__(self, batch, train: bool):
         cfg = self.model_cfg

@@ -410,8 +410,14 @@ def build_detector(model_cfg, num_class, dataset):
             tuple(float(v) for v in dataset.voxel_size),
             class_names=tuple(dataset.class_names),
         )
-    elif head_name == "TransFusionHead":
+    elif head_name in ("TransFusionHead", "TransFusionHeadAM"):
         head_cfg = model_cfg["DENSE_HEAD"]
+        if head_name == "TransFusionHeadAM":
+            # the AM head's class space is its anchor-prior table
+            # (transfusion_head_am.py:154-173)
+            from ..dense_heads.transfusion_head_am import DEFAULT_ANCHORS
+
+            num_class = len(head_cfg.get("ANCHOR_SIZES", DEFAULT_ANCHORS))
         unknown_labels = tuple(head_cfg.get("UNKNOWN_LABELS", ()))
         relabel_lut = tuple(head_cfg.get("RELABEL_LUT", ()))
         if "KNOWN_CLASS_NAMES" in head_cfg and "FULL_CLASS_NAMES" in head_cfg:

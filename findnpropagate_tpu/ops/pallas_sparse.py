@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,18 +37,30 @@ ALIGN = 512
 
 
 def _fused_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, deltas_ref, w_ref,
-                  out_ref, win_ids, win_feats, tgt_buf, gbuf, sem_i, sem_f,
-                  sem_t, *, precision=None):
+                  *rest, precision=None, epilogue=False, relu=False,
+                  sentinel=None):
     """Grid: (NB,). One target block per step.
 
     lo_ref: (NB,) SMEM window starts (scalar-prefetched, 512-aligned)
     tgt_hbm: (1, Vt) int32 ANY target ids (block i sliced by DMA)
     ids_hbm: (1, V) int32 ANY; feats_hbm: (C, V) ANY
     deltas_ref: (K, 1) SMEM; w_ref: (Cout, K*C) VMEM
+    [scale_ref, shift_ref: (Cout, 1) VMEM — when epilogue]
     out_ref: (Cout, W_BLK) VMEM output block
     win_ids: (1, S) VMEM scratch; win_feats: (C, S) VMEM scratch
     tgt_buf: (1, W_BLK) VMEM scratch; gbuf: (K*C, W_BLK) VMEM scratch
+
+    Epilogue (fused bias+BN+ReLU for the eval path): out = out*scale +
+    shift, optional relu, and rows whose target id >= `sentinel` (padding /
+    inactive slots) zeroed — replacing three XLA elementwise HBM round
+    trips per conv with in-VMEM math.
     """
+    if epilogue:
+        (scale_ref, shift_ref, out_ref, win_ids, win_feats, tgt_buf, gbuf,
+         sem_i, sem_f, sem_t) = rest
+    else:
+        (out_ref, win_ids, win_feats, tgt_buf, gbuf,
+         sem_i, sem_f, sem_t) = rest
     i = pl.program_id(0)
     lo = pl.multiple_of(lo_ref[i], ALIGN)
     s = win_ids.shape[1]
@@ -82,36 +95,59 @@ def _fused_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, deltas_ref, w_ref,
         return 0
 
     jax.lax.fori_loop(0, k, tap, 0)
-    out_ref[:, :] = jnp.dot(
+    acc = jnp.dot(
         w_ref[:], gbuf[:], preferred_element_type=jnp.float32,
         precision=precision,
-    ).astype(out_ref.dtype)
+    )
+    if epilogue:
+        acc = acc * scale_ref[:] + shift_ref[:]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        live = (tgt < sentinel)[None, :]          # (1, W) row mask
+        acc = jnp.where(live, acc, 0.0)
+    out_ref[:, :] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "window", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "block", "window", "interpret", "relu", "sentinel"))
 def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window,
+                scale=None, shift=None, relu=False, sentinel=None,
                 interpret=False):
     """ids2 (1, V), feats_t (C, V), tgt2 (NB, block), lo (NB,), deltas (K,),
-    w_flat (Cout, K*C) -> out (Vt, Cout) f32."""
+    w_flat (Cout, K*C) -> out (Vt, Cout) f32. With scale/shift (Cout,) the
+    affine+relu+padding-mask epilogue runs in-kernel (sentinel = first
+    padding id, static)."""
     nb = tgt2.shape[0]
     vt = nb * block
     c = feats_t.shape[0]
     k = deltas.shape[0]
     cout = w_flat.shape[0]
     compute_dtype = feats_t.dtype
+    epilogue = scale is not None
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),           # tgt ids (HBM)
+        pl.BlockSpec(memory_space=pltpu.ANY),           # ids (HBM)
+        pl.BlockSpec(memory_space=pltpu.ANY),           # feats_t (HBM)
+        pl.BlockSpec((k, 1), lambda i, lo_ref: (0, 0),
+                     memory_space=pltpu.SMEM),          # deltas
+        pl.BlockSpec((cout, k * c), lambda i, lo_ref: (0, 0),
+                     memory_space=pltpu.VMEM),          # weights
+    ]
+    operands = [lo, tgt2.reshape(1, -1), ids2, feats_t, deltas[:, None],
+                w_flat]
+    if epilogue:
+        for _ in range(2):
+            in_specs.append(
+                pl.BlockSpec((cout, 1), lambda i, lo_ref: (0, 0),
+                             memory_space=pltpu.VMEM))  # scale / shift
+        operands.extend([scale.astype(jnp.float32)[:, None],
+                         shift.astype(jnp.float32)[:, None]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # lo
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),           # tgt ids (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),           # ids (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),           # feats_t (HBM)
-            pl.BlockSpec((k, 1), lambda i, lo_ref: (0, 0),
-                         memory_space=pltpu.SMEM),          # deltas
-            pl.BlockSpec((cout, k * c), lambda i, lo_ref: (0, 0),
-                         memory_space=pltpu.VMEM),          # weights
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((cout, block), lambda i, lo_ref: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -128,11 +164,12 @@ def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window,
     # full-precision contraction (Mosaic rejects fp32 precision on bf16)
     prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     out_t = pl.pallas_call(
-        functools.partial(_fused_kernel, precision=prec),
+        functools.partial(_fused_kernel, precision=prec, epilogue=epilogue,
+                          relu=relu, sentinel=sentinel),
         out_shape=jax.ShapeDtypeStruct((cout, vt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(lo, tgt2.reshape(1, -1), ids2, feats_t, deltas[:, None], w_flat)
+    )(*operands)
     return out_t.T
 
 
@@ -256,10 +293,15 @@ def windowed_conv_pallas_diff(src_ids, src_feats, tgt_ids, weights, deltas,
 def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
                          block: int = 512, window: int = 1536,
                          sentinel_start=None, compute_dtype=jnp.bfloat16,
+                         scale=None, shift=None, relu=False,
                          interpret=False):
     """Drop-in fused variant of sparse_ops.windowed_conv (same contract,
     same (out, overflow) return). One UNION window per target block covers
-    all taps; window starts/sizes are 512-aligned for the DMA engine."""
+    all taps; window starts/sizes are 512-aligned for the DMA engine.
+
+    scale/shift (Cout,): fuse the eval-path bias+BN affine (+ optional
+    relu) and the padding-row zeroing into the kernel epilogue — requires
+    a static int `sentinel_start` (first padding/inactive id)."""
     vs, cin = src_feats.shape
     vt = tgt_ids.shape[0]
     k, _, cout = weights.shape
@@ -317,10 +359,21 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
             [weights, jnp.zeros((k, cin_p, cout_p - cout), weights.dtype)],
             axis=2)
 
+    if scale is not None:
+        assert isinstance(sentinel_start, (int, np.integer)), \
+            "epilogue needs a static sentinel_start"
+        if cout_p != cout:
+            pad_c = jnp.zeros((cout_p - cout,), jnp.float32)
+            scale = jnp.concatenate([scale.astype(jnp.float32), pad_c])
+            shift = jnp.concatenate([shift.astype(jnp.float32), pad_c])
+
     feats_t = src_feats.T.astype(compute_dtype)
     w_flat = jnp.transpose(weights, (2, 0, 1)).reshape(cout_p, k * cin_p)
     w_flat = w_flat.astype(compute_dtype)
     out = _fused_call(src_ids[None, :], feats_t, tgt_ids.reshape(nb, block),
                       lo, deltas, w_flat, block, window,
+                      scale=scale, shift=shift, relu=relu,
+                      sentinel=int(sentinel_start)
+                      if scale is not None else None,
                       interpret=interpret)
     return out[:, :cout].astype(src_feats.dtype), overflow

@@ -60,14 +60,32 @@ class SummaryWriter:
 
 
 class BatchingSummaryWriter(SummaryWriter):
-    """The reference's WandbSummaryWriter semantics (tools/train.py:49-54):
+    """The reference's WandbSummaryWriter semantics (tools/train.py:25-63):
     buffer scalars until a tag repeats, then flush the whole buffer as one
-    logical step."""
+    logical step. When the wandb package is importable AND `project` (or
+    $WANDB_PROJECT) is set, the flushed buffer is ALSO sent to
+    `wandb.log` — mirroring `wandb.init(project=..., name=run_name,
+    dir=log_dir)` / `wandb.log(self.last_update)`; otherwise it degrades
+    to tensorboardX/file output only."""
 
-    def __init__(self, log_dir, rank: int = 0):
+    def __init__(self, log_dir, rank: int = 0, project=None, run_name=None):
         super().__init__(log_dir, rank)
         self._buffer = {}
         self._step = 0
+        self._wandb = None
+        if rank == 0:
+            import os
+
+            project = project or os.environ.get("WANDB_PROJECT")
+            if project:
+                try:
+                    import wandb
+
+                    wandb.init(project=project, name=run_name,
+                               dir=str(log_dir))
+                    self._wandb = wandb
+                except Exception:
+                    self._wandb = None
 
     def add_scalar(self, tag, value, step=None):
         if tag in self._buffer:
@@ -75,8 +93,12 @@ class BatchingSummaryWriter(SummaryWriter):
         self._buffer[tag] = (float(value), step)
 
     def _flush_buffer(self):
+        if not self._buffer:
+            return
         for tag, (value, step) in self._buffer.items():
             super().add_scalar(tag, value, self._step if step is None else step)
+        if self._wandb is not None:
+            self._wandb.log({t: v for t, (v, _) in self._buffer.items()})
         self._buffer.clear()
         self._step += 1
 

@@ -86,3 +86,40 @@ def test_output_shape_and_stride():
     # z: 41 -> 21 -> 11 -> 5 -> 2; y/x: 32 -> 16 -> 8 -> 4
     assert out["encoded_spconv_tensor"].shape == (2, 2, 4, 4, 128)
     assert out["encoded_spconv_tensor_stride"] == 8
+
+
+def test_pallas_fused_epilogue_matches_xla_windowed():
+    """SUBM_IMPL=pallas (interpret) with FUSE_BN_EPILOGUE folds bias+BN+relu
+    +padding-mask into the kernel; outputs must match the XLA windowed path
+    with separate BN. Randomized BN stats/params so the affine matters."""
+    rng = np.random.RandomState(4)
+    batch = make_batch(rng, n=300, v_cap=1024)
+    base_cfg = {"MAX_VOXELS": 4096,
+                "LEVEL_CAPACITIES": [1024, 1024, 1024, 1024, 1024],
+                "DENSE_FROM_LEVEL": 2, "SUBM_MODE": "windowed",
+                "WINDOWED_BLOCK": 512, "WINDOWED_WINDOW": 1536,
+                "WINDOWED_PRECISION": "highest"}
+    bb_x = VoxelResBackBone8x(model_cfg=dict(base_cfg), input_channels=5,
+                              grid_size=GRID)
+    variables = bb_x.init(jax.random.PRNGKey(0), dict(batch), train=False)
+
+    # randomize BN affine + running stats
+    def perturb(path, leaf):
+        name = "/".join(str(p) for p in path)
+        if "mean" in name or "bias" in name:
+            return leaf + rng.standard_normal(leaf.shape).astype(np.float32) * 0.2
+        if "var" in name or "scale" in name:
+            return leaf * np.float32(rng.uniform(0.5, 1.5))
+        return leaf
+    variables = jax.tree_util.tree_map_with_path(perturb, variables)
+
+    ref = bb_x.apply(variables, dict(batch), train=False)
+    bb_p = VoxelResBackBone8x(
+        model_cfg={**base_cfg, "SUBM_IMPL": "pallas",
+                   "PALLAS_INTERPRET": True, "FUSE_BN_EPILOGUE": True},
+        input_channels=5, grid_size=GRID)
+    got = bb_p.apply(variables, dict(batch), train=False)
+    assert int(got.get("sparse_window_overflow", 0)) == 0
+    np.testing.assert_allclose(
+        np.asarray(got["encoded_spconv_tensor"]),
+        np.asarray(ref["encoded_spconv_tensor"]), rtol=1e-3, atol=1e-3)

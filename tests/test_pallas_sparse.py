@@ -100,3 +100,44 @@ def test_windowed_overflow_detects_small_window():
     huge = jnp.asarray([-10 ** 6, 10 ** 6], jnp.int32)
     assert int(windowed_overflow(ids, ids, huge, block=512, window=512,
                                  sentinel_start=sent)) > 0
+
+
+def test_epilogue_fused_affine_relu_mask_interpret():
+    """scale/shift/relu epilogue == XLA conv -> affine -> relu, with rows at
+    or above sentinel_start zeroed (the fused eval-path BN)."""
+    ids, feats, w, deltas, sent = make_case(seed=5, n_active=1200)
+    rng = np.random.RandomState(7)
+    c_out = w.shape[2]
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, c_out).astype(np.float32))
+    shift = jnp.asarray(rng.standard_normal(c_out).astype(np.float32))
+
+    ref, _ = windowed_conv(ids, feats, ids, w, deltas, block=512,
+                           window=1536, sentinel_start=sent)
+    ref = np.asarray(ref) * np.asarray(scale) + np.asarray(shift)
+    ref = np.maximum(ref, 0.0)
+    ref[np.asarray(ids) >= sent] = 0.0
+
+    got, ovf = windowed_conv_pallas(
+        ids, feats, ids, w, deltas, block=512, window=1536,
+        sentinel_start=sent, compute_dtype=jnp.float32,
+        scale=scale, shift=shift, relu=True, interpret=True)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_epilogue_no_relu_interpret():
+    ids, feats, w, deltas, sent = make_case(seed=6, n_active=800)
+    c_out = w.shape[2]
+    scale = jnp.ones((c_out,), jnp.float32) * 0.7
+    shift = jnp.ones((c_out,), jnp.float32) * -0.2
+
+    ref, _ = windowed_conv(ids, feats, ids, w, deltas, block=512,
+                           window=1536, sentinel_start=sent)
+    ref = np.asarray(ref) * 0.7 - 0.2
+    ref[np.asarray(ids) >= sent] = 0.0
+
+    got, _ = windowed_conv_pallas(
+        ids, feats, ids, w, deltas, block=512, window=1536,
+        sentinel_start=sent, compute_dtype=jnp.float32,
+        scale=scale, shift=shift, relu=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
