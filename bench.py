@@ -141,7 +141,7 @@ def bench_inference(batch_size: int, iters: int = 10):
     return batch_size / per_batch, counts
 
 
-def bench_train(batch_size: int, iters: int = 6):
+def bench_train(batch_size: int, iters: int = 6, accum_steps: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -159,7 +159,7 @@ def bench_train(batch_size: int, iters: int = 6):
     params = variables["params"]
     state = TrainState(jnp.zeros((), jnp.int32), params,
                        variables.get("batch_stats", {}), tx.init(params))
-    step = make_train_step(det, tx, donate=False)
+    step = make_train_step(det, tx, donate=False, accum_steps=accum_steps)
 
     def chain(s, i):
         nonlocal state
@@ -286,9 +286,11 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=32)
-    ap.add_argument("--train_batch_size", type=int, default=2)
-    # batch 4 currently exceeds the axon relay compile helper on the train
-    # step (full nuScenes scale); 2 compiles and runs
+    ap.add_argument("--train_batch_size", type=int, default=4)
+    ap.add_argument("--train_accum", type=int, default=2)
+    # a FLAT batch-4 train program crashes the axon relay compile helper
+    # (HTTP 500); grad accumulation scans 2 microbatches of 2 in one
+    # execution — same effective batch, microbatch-sized program
     ap.add_argument("--mode", default="all",
                     choices=["all", "infer", "seeker", "train", "latency"])
     ap.add_argument("--latency_chain", type=int, default=8)
@@ -321,13 +323,15 @@ def main():
                               "error": repr(e)[:300]}))
     if args.mode in ("all", "train"):
         try:
-            v = bench_train(args.train_batch_size)
+            v = bench_train(args.train_batch_size,
+                            accum_steps=args.train_accum)
             extras["train_scans_per_sec"] = round(v, 2)
             print(json.dumps({
                 "metric": "train_step", "value": round(v, 2),
                 "unit": "scans/sec/chip",
                 "vs_baseline": round(v / 10.0, 3),  # ~10 scans/s A100 train
                 "batch_size": args.train_batch_size,
+                "accum_steps": args.train_accum,
             }))
         except Exception as e:
             print(json.dumps({"metric": "train_step", "error": repr(e)[:300]}))

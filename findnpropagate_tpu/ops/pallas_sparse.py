@@ -199,6 +199,154 @@ def windowed_overflow(src_ids, tgt_ids, deltas, block, window,
     return jnp.sum(((hi - lo) > window) & has_real)
 
 
+def _dw_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, g_hbm, deltas_ref,
+               out_ref, win_ids, win_feats, tgt_buf, g_buf, sem_i, sem_f,
+               sem_t, sem_g, *, precision=None):
+    """Grid: (NB,). dW accumulated across ALL blocks into one (K*C, Cout)
+    output (same index for every grid step — the block stays resident in
+    VMEM, Mosaic writes it back once).
+
+    Per block this reuses the forward's union-window DMA + per-tap one-hot
+    gather (C, W) and adds a single (C, W) x (W, Cout) matmul per tap —
+    ~2x the forward's FLOPs versus the XLA fallback's 27x window
+    re-gather traffic."""
+    i = pl.program_id(0)
+    lo = pl.multiple_of(lo_ref[i], ALIGN)
+    s = win_ids.shape[1]
+    k = deltas_ref.shape[0]
+    c = win_feats.shape[0]
+    w_blk = tgt_buf.shape[1]
+    t0 = pl.multiple_of(i * w_blk, ALIGN)
+
+    cp_i = pltpu.make_async_copy(ids_hbm.at[:, pl.ds(lo, s)], win_ids, sem_i)
+    cp_f = pltpu.make_async_copy(
+        feats_hbm.at[:, pl.ds(lo, s)], win_feats, sem_f)
+    cp_t = pltpu.make_async_copy(
+        tgt_hbm.at[:, pl.ds(t0, w_blk)], tgt_buf, sem_t)
+    cp_g = pltpu.make_async_copy(
+        g_hbm.at[:, pl.ds(t0, w_blk)], g_buf, sem_g)
+    cp_i.start()
+    cp_f.start()
+    cp_t.start()
+    cp_g.start()
+    cp_i.wait()
+    cp_f.wait()
+    cp_t.wait()
+    cp_g.wait()
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    tgt = tgt_buf[0, :]
+    wi = win_ids[0, :]
+    wf = win_feats[:]
+    gt = g_buf[:]                          # (Cout, W)
+
+    def tap(kk, _):
+        want = tgt + deltas_ref[kk, 0]
+        onehot = (wi[:, None] == want[None, :]).astype(wf.dtype)  # (S, W)
+        gath = jnp.dot(wf, onehot, preferred_element_type=jnp.float32,
+                       precision=precision)                       # (C, W)
+        dw_k = jnp.dot(gath.astype(wf.dtype), gt.T,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)                       # (C, Cout)
+        row = pl.ds(pl.multiple_of(kk * c, 8), c)
+        out_ref[row, :] += dw_k.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, k, tap, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "window", "interpret"))
+def _dw_call(ids2, feats_t, tgt2, g_t, lo, deltas, block, window,
+             interpret=False):
+    """ids2 (1, V), feats_t (C, V), tgt2 (NB, block), g_t (Cout, Vt),
+    lo (NB,), deltas (K,) -> dW (K, C, Cout) f32."""
+    nb = tgt2.shape[0]
+    c = feats_t.shape[0]
+    k = deltas.shape[0]
+    cout = g_t.shape[0]
+    compute_dtype = feats_t.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # tgt ids (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # src ids (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # feats_t (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # g_t (HBM)
+            pl.BlockSpec((k, 1), lambda i, lo_ref: (0, 0),
+                         memory_space=pltpu.SMEM),      # deltas
+        ],
+        out_specs=pl.BlockSpec((k * c, cout), lambda i, lo_ref: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, window), jnp.int32),
+            pltpu.VMEM((c, window), compute_dtype),
+            pltpu.VMEM((1, block), jnp.int32),
+            pltpu.VMEM((cout, block), compute_dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+    dw = pl.pallas_call(
+        functools.partial(_dw_kernel, precision=prec),
+        out_shape=jax.ShapeDtypeStruct((k * c, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lo, tgt2.reshape(1, -1), ids2, feats_t, g_t, deltas[:, None])
+    return dw.reshape(k, c, cout)
+
+
+def windowed_dw_pallas(src_ids, src_feats, tgt_ids, g, deltas,
+                       block: int = 512, window: int = 1536,
+                       compute_dtype=jnp.bfloat16, interpret=False):
+    """dW[k] = gathered_k(src->tgt)^T @ g via the fused union-window kernel.
+    Same contract as _windowed_dw; returns (K, Cin, Cout) f32."""
+    vs, cin = src_feats.shape
+    vt = tgt_ids.shape[0]
+    k = deltas.shape[0]
+    cout = g.shape[1]
+    nb = vt // block
+    assert nb * block == vt and block % ALIGN == 0
+
+    pad_src = (-vs) % ALIGN
+    if pad_src:
+        src_ids = jnp.concatenate(
+            [src_ids,
+             src_ids[-1] + 1 + jnp.arange(pad_src, dtype=jnp.int32)])
+        src_feats = jnp.concatenate(
+            [src_feats, jnp.zeros((pad_src, cin), src_feats.dtype)], axis=0)
+        vs = vs + pad_src
+    window = -(-(min(window, vs) + ALIGN) // ALIGN) * ALIGN
+    window = min(window, vs)
+
+    d_min = jnp.min(deltas)
+    lo = jnp.searchsorted(src_ids, tgt_ids[::block] + d_min)
+    lo_max = ((vs - window) // ALIGN) * ALIGN
+    lo = jnp.minimum((lo // ALIGN) * ALIGN, max(lo_max, 0)).astype(jnp.int32)
+
+    cin_p = -(-cin // 8) * 8
+    cout_p = -(-cout // 8) * 8
+    if cin_p != cin:
+        src_feats = jnp.concatenate(
+            [src_feats, jnp.zeros((vs, cin_p - cin), src_feats.dtype)],
+            axis=1)
+    if cout_p != cout:
+        g = jnp.concatenate(
+            [g, jnp.zeros((vt, cout_p - cout), g.dtype)], axis=1)
+
+    dw = _dw_call(src_ids[None, :], src_feats.T.astype(compute_dtype),
+                  tgt_ids.reshape(nb, block), g.T.astype(compute_dtype),
+                  lo, deltas, block, window, interpret=interpret)
+    return dw[:, :cin, :cout]
+
+
 def _windowed_dw(src_ids, src_feats, tgt_ids, g, deltas, block, window,
                  compute_dtype):
     """dW[k] = gathered_k(src->tgt)^T @ g — XLA windowed gather per tap.
@@ -269,7 +417,9 @@ def windowed_conv_pallas_diff(src_ids, src_feats, tgt_ids, weights, deltas,
             t_ids, g.astype(feats.dtype), s_ids, w_t, -dl, block=blk,
             window=win, sentinel_start=None, compute_dtype=cd,
             interpret=interpret)
-        d_w = _windowed_dw(s_ids, feats, t_ids, g, dl, blk, win, cd)
+        d_w = windowed_dw_pallas(s_ids, feats, t_ids, g, dl, block=blk,
+                                 window=win, compute_dtype=cd,
+                                 interpret=interpret)
         zero_i = lambda x: np.zeros(x.shape, dtypes.float0)
         return (zero_i(s_ids), zero_i(t_ids), zero_i(dl),
                 d_feats.astype(feats.dtype), d_w.astype(w.dtype))

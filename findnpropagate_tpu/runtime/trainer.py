@@ -63,12 +63,20 @@ def _mesh_constraints(mesh):
     return constrain_repl, constrain_data
 
 
-def make_train_step(detector, tx, mesh=None, donate=True, seed: int = 17):
+def make_train_step(detector, tx, mesh=None, donate=True, seed: int = 17,
+                    accum_steps: int = 1):
     """Returns train_step(state, batch) -> (state, metrics), jitted and
     (optionally) sharded: params/opt_state pinned replicated, batch pinned
     batch-axis-sharded over the mesh's 'data' axis via sharding constraints
     (XLA inserts the gradient all-reduce). `seed` drives the per-step rng
-    (folded with the step counter) — plumbed from cfg/CLI."""
+    (folded with the step counter) — plumbed from cfg/CLI.
+
+    accum_steps > 1: gradient accumulation — the batch's leading axis is
+    split into `accum_steps` microbatches swept by ONE lax.scan (grads and
+    scalar metrics averaged, batch_stats chained through), so the compiled
+    program and peak activations stay at microbatch size while the
+    optimizer sees the full effective batch. The batch size must divide
+    evenly."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -77,6 +85,45 @@ def make_train_step(detector, tx, mesh=None, donate=True, seed: int = 17):
 
     if mesh is not None:
         constrain_repl, constrain_data = _mesh_constraints(mesh)
+
+    def grads_and_metrics(params, batch_stats, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps <= 1:
+            (loss, (tb, new_bs)), grads = grad_fn(
+                params, batch_stats, batch, rng)
+            return loss, tb, new_bs, grads
+
+        def split(x):
+            b = x.shape[0]
+            assert b % accum_steps == 0, (b, accum_steps)
+            return x.reshape((accum_steps, b // accum_steps) + x.shape[1:])
+
+        micro = jax.tree.map(split, batch)
+
+        def body(carry, mb_and_idx):
+            bs, grads_acc, loss_acc, tb_acc = carry
+            mb, idx = mb_and_idx
+            (loss, (tb, new_bs)), grads = grad_fn(
+                params, bs, mb, jax.random.fold_in(rng, idx))
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            loss_acc = loss_acc + loss
+            tb_acc = jax.tree.map(jnp.add, tb_acc, tb) if tb_acc else tb
+            return (new_bs, grads_acc, loss_acc, tb_acc), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        mb0 = jax.tree.map(lambda x: x[0], micro)
+        # one traced eval to get the tb structure without running twice:
+        tb_shape = jax.eval_shape(
+            lambda p, s, b: loss_fn(p, s, b, rng)[1][0],
+            params, batch_stats, mb0)
+        tb0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tb_shape)
+        (new_bs, grads, loss, tb), _ = jax.lax.scan(
+            body, (batch_stats, zero_grads, jnp.zeros(()), tb0),
+            (micro, jnp.arange(accum_steps)))
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        tb = jax.tree.map(lambda t: t * inv, tb)
+        return loss * inv, tb, new_bs, grads
 
     def train_step(state: TrainState, batch):
         if mesh is not None:
@@ -88,8 +135,7 @@ def make_train_step(detector, tx, mesh=None, donate=True, seed: int = 17):
             )
             batch = constrain_data(batch)
         rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (tb, new_bs)), grads = grad_fn(
+        loss, tb, new_bs, grads = grads_and_metrics(
             state.params, state.batch_stats, batch, rng
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -167,9 +213,10 @@ def restore_checkpoint(path, state: TrainState) -> TrainState:
 def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
                  ckpt_dir=None, log_interval=10, ckpt_save_interval=1,
                  start_epoch=0, hooks=None, writer=None, schedule=None,
-                 seed: int = 17):
+                 seed: int = 17, accum_steps: int = 1):
     """Simple epoch driver (reference train_model, train_utils.py:264-325)."""
-    train_step = make_train_step(detector, tx, mesh=mesh, seed=seed)
+    train_step = make_train_step(detector, tx, mesh=mesh, seed=seed,
+                                 accum_steps=accum_steps)
     emit = logger.info if logger else print
     history = []
     global_it = start_epoch * len(loader)

@@ -141,3 +141,25 @@ def test_epilogue_no_relu_interpret():
         sentinel_start=sent, compute_dtype=jnp.float32,
         scale=scale, shift=shift, relu=False, interpret=True)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dw_kernel_matches_xla_windowed_dw_interpret():
+    """windowed_dw_pallas (union-window dW accumulation kernel) == the XLA
+    windowed-gather dW used as oracle."""
+    from findnpropagate_tpu.ops.pallas_sparse import (
+        _windowed_dw,
+        windowed_dw_pallas,
+    )
+
+    ids, feats, w, deltas, sent = make_case(seed=9, n_active=1000)
+    rng = np.random.RandomState(11)
+    c_out = w.shape[2]
+    g = jnp.asarray(
+        rng.standard_normal((ids.shape[0], c_out)).astype(np.float32))
+
+    ref = _windowed_dw(ids, feats, ids, g, deltas, 512, 1536, jnp.float32)
+    got = windowed_dw_pallas(ids, feats, ids, g, deltas, block=512,
+                             window=1536, compute_dtype=jnp.float32,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)

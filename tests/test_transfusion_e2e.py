@@ -147,3 +147,4 @@ def test_loss_decreases(setup):
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.7, losses
     assert np.isfinite(losses).all()
+

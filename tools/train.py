@@ -118,6 +118,7 @@ def main():
         detector, loader, state, tx, epochs, mesh=mesh, logger=logger,
         ckpt_dir=ckpt_dir, start_epoch=start_epoch, hooks=hooks,
         writer=writer, schedule=schedule, seed=args.seed,
+        accum_steps=int(cfg.OPTIMIZATION.get("GRAD_ACCUM_STEPS", 1)),
     )
     writer.close()
     logger.info("training done")
