@@ -131,21 +131,25 @@ class _SparseStack(nn.Module):
         self.bn_input = MaskedBatchNorm(c1)
         self.bn_out = MaskedBatchNorm(self.out_channels)
 
-    def _make_stage(self, cin, cout, first_stride, name):
+    def _make_stage(self, cin, cout, first_stride, name, num_blocks=2,
+                    kernel=(3, 3, 3)):
         mods = {}
         if first_stride is not None:
-            mods["down"] = SparseConvParam(cin, cout)
+            mods["down"] = SparseConvParam(cin, cout, kernel=kernel)
             mods["down_bn"] = MaskedBatchNorm(cout)
             cin = cout
         if self.residual:
-            for b in range(2):
-                mods[f"res{b}_conv1"] = SparseConvParam(cin, cout, use_bias=self.use_bias)
+            for b in range(num_blocks):
+                mods[f"res{b}_conv1"] = SparseConvParam(
+                    cin, cout, kernel=kernel, use_bias=self.use_bias)
                 mods[f"res{b}_bn1"] = MaskedBatchNorm(cout)
-                mods[f"res{b}_conv2"] = SparseConvParam(cout, cout, use_bias=self.use_bias)
+                mods[f"res{b}_conv2"] = SparseConvParam(
+                    cout, cout, kernel=kernel, use_bias=self.use_bias)
                 mods[f"res{b}_bn2"] = MaskedBatchNorm(cout)
         else:
-            for b in range(2):
-                mods[f"conv{b}"] = SparseConvParam(cin if b == 0 else cout, cout)
+            for b in range(num_blocks):
+                mods[f"conv{b}"] = SparseConvParam(
+                    cin if b == 0 else cout, cout, kernel=kernel)
                 mods[f"bn{b}"] = MaskedBatchNorm(cout)
         return mods
 
@@ -242,8 +246,20 @@ class _SparseStack(nn.Module):
             feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
         return ("win", (ids, coords, valid, feats), shape)
 
-    def _to_dense(self, level):
+    def _dense_dtype(self, train):
+        """Eval-only bf16 storage for the hybrid dense levels
+        (`DENSE_DTYPE: bf16`). The dense tensors are the memory peak at
+        saturating batch — e.g. the stride-4 level of the full nuScenes
+        grid is (B, 11, 360, 360, 64): 11.7 GB f32 at batch 32, which
+        exceeds v5e HBM — and the MXU runs bf16 at 2x f32 throughput."""
+        name = str(self.model_cfg.get("DENSE_DTYPE", "f32")).lower()
+        if name in ("bf16", "bfloat16") and not train:
+            return jnp.bfloat16
+        return jnp.float32
+
+    def _to_dense(self, level, train=False):
         kind, a, b = level
+        dt = self._dense_dtype(train)
         if kind == "dense":
             return level
         if kind == "win":
@@ -251,31 +267,32 @@ class _SparseStack(nn.Module):
             shape = b
             x = jax.vmap(
                 lambda c, v, f: coords_to_dense(c, v, f, shape)
-            )(coords, valid, feats)
+            )(coords, valid, feats.astype(dt))
             ones = jnp.ones(feats.shape[:2] + (1,), jnp.float32)
             mask = jax.vmap(
                 lambda c, v, f: coords_to_dense(c, v, f, shape)
             )(coords, valid, ones)[..., 0] > 0
             return ("dense", x, mask)
         grids, feats = a, b
-        x = jax.vmap(sparse_to_dense)(grids, feats)
+        x = jax.vmap(sparse_to_dense)(grids, feats.astype(dt))
         ones = jnp.ones(feats.shape[:2] + (1,), jnp.float32)
         mask = jax.vmap(sparse_to_dense)(grids, ones)[..., 0] > 0
         return ("dense", x, mask)
 
     @staticmethod
     def _dense_conv(x, w, b, kernel, stride, padding):
-        """x (B, nz, ny, nx, Cin); w (K, Cin, Cout) zyx C-order."""
+        """x (B, nz, ny, nx, Cin); w (K, Cin, Cout) zyx C-order. Runs in
+        x's dtype (bf16 on the DENSE_DTYPE eval path)."""
         kz, ky, kx = kernel
         cin, cout = w.shape[1], w.shape[2]
-        wk = w.reshape(kz, ky, kx, cin, cout)
+        wk = w.reshape(kz, ky, kx, cin, cout).astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x, wk, window_strides=stride,
             padding=[(p, p) for p in padding],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
         if b is not None:
-            y = y + b
+            y = y + b.astype(x.dtype)
         return y
 
     @staticmethod
@@ -373,7 +390,7 @@ class _SparseStack(nn.Module):
                 )(ids, feats, base)
                 ovf_acc.append(jnp.sum(ovf))
                 level = ("win", (oi, oc, ov, out), out_shape)
-                return self._to_dense(level) if dense_out else level
+                return self._to_dense(level, train) if dense_out else level
             out, ovf = jax.vmap(
                 lambda si, sf, ti: self._win_conv(
                     si, sf, ti, w, deltas, block, swindow, prec, sent, train,
@@ -385,7 +402,7 @@ class _SparseStack(nn.Module):
             out = jnp.where(ov[..., None], out, 0.0)
             out = nn.relu(bnmod(out, ov, train))
             level = ("win", (oi, oc, ov, out), out_shape)
-            return self._to_dense(level) if dense_out else level
+            return self._to_dense(level, train) if dense_out else level
         if kind == "sparse":
             grids, feats = a, m
             oc, ov = jax.vmap(
@@ -403,16 +420,18 @@ class _SparseStack(nn.Module):
             )(grids, feats, new_grids)
             out = nn.relu(bnmod(out, new_grids.valid, train))
             level = ("sparse", new_grids, out)
-            return self._to_dense(level) if dense_out else level
+            return self._to_dense(level, train) if dense_out else level
         y = self._dense_conv(a, w, b, kernel, stride, padding)
         new_mask = self._pool_mask(m, kernel, stride, padding)
         y = jnp.where(new_mask[..., None], y, 0.0)
         y = nn.relu(bnmod(y, new_mask, train))
         return ("dense", y, new_mask)
 
-    def _blocks(self, mods, level, train, ovf_acc):
+    def _blocks(self, mods, level, train, ovf_acc, kernel=(3, 3, 3)):
         if self.residual:
-            for blk in range(2):
+            n_blk = sum(1 for k in mods if k.startswith("res")
+                        and k.endswith("_conv1"))
+            for blk in range(n_blk):
                 kind, a, m = level
                 if kind == "win":
                     identity = a[3]
@@ -421,10 +440,11 @@ class _SparseStack(nn.Module):
                 else:
                     identity = a
                 level = self._subm(level, mods[f"res{blk}_conv1"],
-                                   mods[f"res{blk}_bn1"], train, ovf_acc)
+                                   mods[f"res{blk}_bn1"], train, ovf_acc,
+                                   kernel=kernel)
                 level = self._subm(level, mods[f"res{blk}_conv2"],
                                    mods[f"res{blk}_bn2"], train, ovf_acc,
-                                   relu=False)
+                                   kernel=kernel, relu=False)
                 kind, a, m = level
                 if kind == "win":
                     ids, coords, valid, feats = a
@@ -440,9 +460,11 @@ class _SparseStack(nn.Module):
                     out = jnp.where(m[..., None], out, 0.0)
                     level = ("dense", out, m)
         else:
-            for blk in range(2):
+            n_blk = sum(1 for k in mods if k.startswith("conv"))
+            for blk in range(n_blk):
                 level = self._subm(level, mods[f"conv{blk}"],
-                                   mods[f"bn{blk}"], train, ovf_acc)
+                                   mods[f"bn{blk}"], train, ovf_acc,
+                                   kernel=kernel)
         return level
 
     def __call__(self, batch, train: bool):
@@ -461,7 +483,7 @@ class _SparseStack(nn.Module):
             grids = jax.vmap(lambda c, v: build_grid(c, v, s1))(coords, valid)
             level = ("sparse", grids, feats)
         if dense_from <= 0:
-            level = self._to_dense(level)
+            level = self._to_dense(level, train)
 
         level = self._subm(level, self.w_input, self.bn_input, train, ovf_acc)
         level = self._blocks(self.blocks1, level, train, ovf_acc)
@@ -490,9 +512,9 @@ class _SparseStack(nn.Module):
                            stride=(2, 1, 1), padding=(0, 0, 0),
                            dense_out=dense_from <= 4)
 
-        level = self._to_dense(level)
+        level = self._to_dense(level, train)
         dense = level[1]
-        batch["encoded_spconv_tensor"] = dense
+        batch["encoded_spconv_tensor"] = dense.astype(jnp.float32)
         batch["encoded_spconv_tensor_stride"] = 8
         batch["multi_scale_3d_features"] = {
             "x_conv1": lvl1, "x_conv2": lvl2, "x_conv3": lvl3, "x_conv4": lvl4,

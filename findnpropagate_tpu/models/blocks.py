@@ -63,7 +63,9 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return jnp.where(valid[..., None], y, 0.0)
+        # preserve the input dtype (the hybrid dense levels run bf16 at
+        # eval; f32 affine params must not silently upcast the tensor)
+        return jnp.where(valid[..., None], y, 0.0).astype(x.dtype)
 
 
 class ConvBNReLU(nn.Module):

@@ -460,6 +460,28 @@ def build_detector(model_cfg, num_class, dataset):
 
         head_tools = CaddnTools(head_tools)
 
+    if head_tools is not None and model_cfg.get("BACKBONE_3D", {}).get(
+            "NAME") == "VoxelBackBone8xFocal":
+        # Focals Conv: head loss + importance supervision
+        # (spconv_backbone_focal.py:201-208 get_loss)
+        @dataclass
+        class FocalTools:
+            stage1: Any
+
+            def __getattr__(self, name):
+                return getattr(self.stage1, name)
+
+            def compute_loss(self, out_batch):
+                loss1, tb = self.stage1.compute_loss(out_batch)
+                lbp = out_batch.get("loss_box_of_pts")
+                if lbp is None:
+                    return loss1, tb
+                tb = dict(tb)
+                tb["loss_box_of_pts"] = lbp
+                return loss1 + lbp, tb
+
+        head_tools = FocalTools(head_tools)
+
     if model_cfg.get("ROI_HEAD", {}).get("NAME") == "MPPNetHead":
         # MPPNet: proposal-refinement only, no first stage inside the model
         # (mppnet.py:36-42 — loss is the roi head's alone)

@@ -617,3 +617,65 @@ def coords_to_dense(coords, valid, feats, shape):
         jnp.where((valid & inside)[:, None], feats, 0.0)
     )
     return dense[:-1].reshape(nz, ny, nx, c)
+
+
+def focal_dilate(ids, feats, cand_mask, shape, max_out: int):
+    """Focal sparse conv active-set dilation (reference
+    focal_sparse_conv/focal_sparse_utils.py:89-147 split_voxels +
+    check_repeat, TPU formulation): every selected (voxel, kernel-offset)
+    pair contributes a ZERO-feature cell at that offset; the candidates are
+    merged with the existing actives, dedup'd by id (stable sort — an
+    original keeps its features when a candidate collides; the reference's
+    importance-averaging on such collisions is a side effect of its
+    index_add dedup and is not replicated), and capped to the `max_out`
+    smallest ids.
+
+    ids (V,) sorted guard-banded yxz ids (ascending sentinels for invalid
+    slots); feats (V, C); cand_mask (V, 26) bool over the non-center 3x3x3
+    offsets in `_kernel_offsets` order (center removed).
+    Returns (ids', coords', valid', feats'), sorted, fixed size max_out."""
+    nz, ny, nx = (int(s) for s in shape)
+    stride_x, stride_y = _yxz_strides(shape)
+    sentinel = yxz_sentinel_start(shape)
+
+    offs = np.asarray(_kernel_offsets((3, 3, 3)))
+    offs = offs[~np.all(offs == 0, axis=1)]            # (26, 3) zyx
+    deltas = jnp.asarray(
+        offs[:, 1] * stride_y + offs[:, 2] * stride_x + offs[:, 0],
+        jnp.int32)
+
+    cand = ids[:, None] + deltas[None, :]              # (V, 26)
+    cy = cand // stride_y
+    rem = cand % stride_y
+    cx = rem // stride_x - 1
+    cz = rem % stride_x - 1
+    ok = (cand_mask & (ids < sentinel)[:, None]
+          & (cy >= 0) & (cy < ny) & (cx >= 0) & (cx < nx)
+          & (cz >= 0) & (cz < nz))
+    big = jnp.iinfo(jnp.int32).max
+    cand = jnp.where(ok, cand, big).reshape(-1)
+
+    all_ids = jnp.concatenate([jnp.where(ids < sentinel, ids, big), cand])
+    c = feats.shape[1]
+    feats_ext = jnp.concatenate(
+        [feats, jnp.zeros((cand.shape[0], c), feats.dtype)], axis=0)
+    perm = jnp.argsort(all_ids, stable=True)
+    ids_s = all_ids[perm]
+    newseg = jnp.concatenate(
+        [ids_s[:1] < big, (ids_s[1:] != ids_s[:-1]) & (ids_s[1:] < big)])
+    uniq_key = jnp.where(newseg, ids_s, big)
+    order = jnp.argsort(uniq_key, stable=True)[:max_out]
+    out_ids = uniq_key[order]
+    out_valid = out_ids < big
+    out_feats = jnp.where(out_valid[:, None], feats_ext[perm[order]], 0.0)
+
+    oy = out_ids // stride_y
+    rem = out_ids % stride_y
+    oxc = rem // stride_x - 1
+    ozc = rem % stride_x - 1
+    out_coords = jnp.where(
+        out_valid[:, None], jnp.stack([ozc, oy, oxc], axis=1), -1
+    ).astype(jnp.int32)
+    slot = jnp.arange(max_out, dtype=jnp.int32)
+    out_ids = jnp.where(out_valid, out_ids, sentinel + slot).astype(jnp.int32)
+    return out_ids, out_coords, out_valid, out_feats

@@ -123,3 +123,25 @@ def test_pallas_fused_epilogue_matches_xla_windowed():
     np.testing.assert_allclose(
         np.asarray(got["encoded_spconv_tensor"]),
         np.asarray(ref["encoded_spconv_tensor"]), rtol=1e-3, atol=1e-3)
+
+
+def test_dense_dtype_bf16_close_to_f32():
+    """DENSE_DTYPE=bf16 (eval-only hybrid storage) stays within bf16
+    tolerance of the f32 dense path and halves the dominant tensors."""
+    rng = np.random.RandomState(7)
+    batch = make_batch(rng)
+    base = {"MAX_VOXELS": 4096,
+            "LEVEL_CAPACITIES": [4096, 4096, 4096, 2048, 1024],
+            "DENSE_FROM_LEVEL": 1}
+    bb_f = VoxelResBackBone8x(model_cfg=dict(base), input_channels=5,
+                              grid_size=GRID)
+    variables = bb_f.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    ref = bb_f.apply(variables, dict(batch), train=False)
+    bb_h = VoxelResBackBone8x(model_cfg={**base, "DENSE_DTYPE": "bf16"},
+                              input_channels=5, grid_size=GRID)
+    got = bb_h.apply(variables, dict(batch), train=False)
+    r = np.asarray(ref["encoded_spconv_tensor"])
+    g = np.asarray(got["encoded_spconv_tensor"])
+    assert g.dtype == np.float32  # cast back at the boundary
+    denom = np.abs(r).max() + 1e-6
+    assert np.abs(g - r).max() / denom < 0.06, np.abs(g - r).max() / denom
