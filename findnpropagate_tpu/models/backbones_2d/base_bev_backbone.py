@@ -36,13 +36,22 @@ class BaseBEVBackbone(nn.Module):
         num_filters = cfg.get("NUM_FILTERS", []) or []
         upsample_strides = cfg.get("UPSAMPLE_STRIDES", []) or []
         num_upsample_filters = cfg.get("NUM_UPSAMPLE_FILTERS", []) or []
+        # eval-only bf16 compute (`DTYPE: bf16`): the (B, H, W, 128..256)
+        # maps here are multi-GB at saturating batch; params stay f32
+        dt = jnp.bfloat16 if (
+            str(cfg.get("DTYPE", "f32")).lower() in ("bf16", "bfloat16")
+            and not train) else None
 
         x = batch["spatial_features"]  # (B, H, W, C)
+        if dt is not None:
+            x = x.astype(dt)
         ups = []
         for i, (n, s, f) in enumerate(zip(layer_nums, layer_strides, num_filters)):
-            x = ConvBNReLU(int(f), 3, int(s), name=f"block{i}_down")(x, train)
+            x = ConvBNReLU(int(f), 3, int(s), dtype=dt,
+                           name=f"block{i}_down")(x, train)
             for k in range(int(n)):
-                x = ConvBNReLU(int(f), 3, 1, name=f"block{i}_conv{k}")(x, train)
+                x = ConvBNReLU(int(f), 3, 1, dtype=dt,
+                               name=f"block{i}_conv{k}")(x, train)
             stride = 1
             for s2 in layer_strides[: i + 1]:
                 stride *= int(s2)
@@ -52,6 +61,7 @@ class BaseBEVBackbone(nn.Module):
                     DeconvBNReLU(
                         int(num_upsample_filters[i]),
                         stride=upsample_strides[i],
+                        dtype=dt,
                         name=f"deblock{i}",
                     )(x, train)
                 )
@@ -65,10 +75,11 @@ class BaseBEVBackbone(nn.Module):
 
         if len(upsample_strides) > len(layer_nums):
             x = DeconvBNReLU(
-                x.shape[-1], stride=int(upsample_strides[-1]), name="deblock_extra"
+                x.shape[-1], stride=int(upsample_strides[-1]), dtype=dt,
+                name="deblock_extra"
             )(x, train)
 
-        batch["spatial_features_2d"] = x
+        batch["spatial_features_2d"] = x.astype(jnp.float32)
         return batch
 
 

@@ -495,24 +495,58 @@ class _SparseStack(nn.Module):
         level = self._blocks(self.blocks2, level, train, ovf_acc)
         lvl2 = level
 
-        level = self._down(level, self.blocks3["down"], self.blocks3["down_bn"],
-                           train, s3, self.caps[3], ovf_acc, padding=(1, 1, 1),
-                           dense_out=dense_from <= 2)
-        level = self._blocks(self.blocks3, level, train, ovf_acc)
-        lvl3 = level
+        def dense_tail(level, ovf):
+            level = self._down(level, self.blocks3["down"],
+                               self.blocks3["down_bn"], train, s3,
+                               self.caps[3], ovf, padding=(1, 1, 1),
+                               dense_out=dense_from <= 2)
+            level = self._blocks(self.blocks3, level, train, ovf)
+            lvl3 = level
 
-        level = self._down(level, self.blocks4["down"], self.blocks4["down_bn"],
-                           train, s4, self.caps[4], ovf_acc, padding=(0, 1, 1),
-                           dense_out=dense_from <= 3)
-        level = self._blocks(self.blocks4, level, train, ovf_acc)
-        lvl4 = level
+            level = self._down(level, self.blocks4["down"],
+                               self.blocks4["down_bn"], train, s4,
+                               self.caps[4], ovf, padding=(0, 1, 1),
+                               dense_out=dense_from <= 3)
+            level = self._blocks(self.blocks4, level, train, ovf)
+            lvl4 = level
 
-        level = self._down(level, self.w_out, self.bn_out, train, s_out,
-                           self.caps[4], ovf_acc, kernel=(3, 1, 1),
-                           stride=(2, 1, 1), padding=(0, 0, 0),
-                           dense_out=dense_from <= 4)
+            level = self._down(level, self.w_out, self.bn_out, train, s_out,
+                               self.caps[4], ovf, kernel=(3, 1, 1),
+                               stride=(2, 1, 1), padding=(0, 0, 0),
+                               dense_out=dense_from <= 4)
+            return lvl3, lvl4, self._to_dense(level, train)
 
-        level = self._to_dense(level, train)
+        # DENSE_CHUNK: eval-only batch chunking of the dense tail. The
+        # stride-4 dense temps are the HBM peak at saturating batch (the
+        # 64-channel level pads 2x to 128 lanes); sweeping the tail over
+        # batch chunks with ONE lax.map scales that peak by chunk/B at the
+        # cost of loop serialization (the per-chunk convs still saturate
+        # the MXU at chunk >= 4).
+        chunks = int(self.model_cfg.get("DENSE_CHUNK", 1))
+        b = feats.shape[0]
+        if (chunks > 1 and not train and dense_from == 2
+                and level[0] == "win" and b % chunks == 0
+                and not self.is_initializing()):
+            kind, arrs, shp = level
+
+            def one_chunk(ca):
+                ovf2 = []
+                l3, l4, out = dense_tail((kind, ca, shp), ovf2)
+                return (l3[1], l3[2], l4[1], l4[2], out[1], out[2],
+                        sum(ovf2) if ovf2
+                        else jnp.zeros((), jnp.int32))
+
+            carrs = jax.tree.map(
+                lambda x: x.reshape((chunks, b // chunks) + x.shape[1:]),
+                arrs)
+            x3, m3, x4, m4, xo, mo, ovf_t = jax.lax.map(one_chunk, carrs)
+            unchunk = lambda x: x.reshape((b,) + x.shape[2:])
+            lvl3 = ("dense", unchunk(x3), unchunk(m3))
+            lvl4 = ("dense", unchunk(x4), unchunk(m4))
+            level = ("dense", unchunk(xo), unchunk(mo))
+            ovf_acc.append(jnp.sum(ovf_t))
+        else:
+            lvl3, lvl4, level = dense_tail(level, ovf_acc)
         dense = level[1]
         batch["encoded_spconv_tensor"] = dense.astype(jnp.float32)
         batch["encoded_spconv_tensor_stride"] = 8

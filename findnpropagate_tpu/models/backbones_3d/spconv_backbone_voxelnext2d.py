@@ -64,18 +64,20 @@ class VoxelResBackBone8xVoxelNeXt2D(_SparseStack):
 
         c1, c2, c3, c4, c5, c6 = chans
         # block counts per stage (spconv_backbone_voxelnext2d.py:81-129)
+        nb = [int(x) for x in
+              cfg.get("BLOCKS_PER_STAGE", [3, 4, 6, 3, 3, 3])]
         self.blocks1 = self._make_stage(c1, c1, first_stride=None, name=1,
-                                        num_blocks=3, kernel=K2D)
+                                        num_blocks=nb[0], kernel=K2D)
         self.blocks2 = self._make_stage(c1, c2, first_stride=(2, None),
-                                        name=2, num_blocks=4, kernel=K2D)
+                                        name=2, num_blocks=nb[1], kernel=K2D)
         self.blocks3 = self._make_stage(c2, c3, first_stride=(2, None),
-                                        name=3, num_blocks=6, kernel=K2D)
+                                        name=3, num_blocks=nb[2], kernel=K2D)
         self.blocks4 = self._make_stage(c3, c4, first_stride=(2, None),
-                                        name=4, num_blocks=3, kernel=K2D)
+                                        name=4, num_blocks=nb[3], kernel=K2D)
         self.blocks5 = self._make_stage(c4, c5, first_stride=(2, None),
-                                        name=5, num_blocks=3, kernel=K2D)
+                                        name=5, num_blocks=nb[4], kernel=K2D)
         self.blocks6 = self._make_stage(c5, c6, first_stride=(2, None),
-                                        name=6, num_blocks=3, kernel=K2D)
+                                        name=6, num_blocks=nb[5], kernel=K2D)
 
         self.w_out = SparseConvParam(c4, self.out_channels, kernel=K2D)
         self.bn_out = MaskedBatchNorm(self.out_channels)

@@ -8,7 +8,7 @@ implementation detail we do not carry over.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -69,9 +69,12 @@ class MaskedBatchNorm(nn.Module):
 
 
 class ConvBNReLU(nn.Module):
+    # dtype: computation dtype (params stay f32) — bf16 on the eval path
+    # halves the multi-GB dense BEV tensors and doubles MXU throughput
     features: int
     kernel_size: int = 3
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -81,28 +84,34 @@ class ConvBNReLU(nn.Module):
             strides=(self.stride, self.stride),
             padding=[(1, 1), (1, 1)] if self.kernel_size == 3 else "SAME",
             use_bias=False,
+            dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, **BN_KW)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         **BN_KW)(x)
         return nn.relu(x)
 
 
 class DeconvBNReLU(nn.Module):
     features: int
     stride: float = 2  # >=1: transpose conv upsample; <1: strided conv downsample
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         if self.stride >= 1:
             s = int(round(self.stride))
             x = nn.ConvTranspose(
-                self.features, (s, s), strides=(s, s), use_bias=False
+                self.features, (s, s), strides=(s, s), use_bias=False,
+                dtype=self.dtype,
             )(x)
         else:
             s = int(round(1 / self.stride))
             x = nn.Conv(
-                self.features, (s, s), strides=(s, s), use_bias=False
+                self.features, (s, s), strides=(s, s), use_bias=False,
+                dtype=self.dtype,
             )(x)
-        x = nn.BatchNorm(use_running_average=not train, **BN_KW)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         **BN_KW)(x)
         return nn.relu(x)
 
 

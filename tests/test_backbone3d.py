@@ -145,3 +145,26 @@ def test_dense_dtype_bf16_close_to_f32():
     assert g.dtype == np.float32  # cast back at the boundary
     denom = np.abs(r).max() + 1e-6
     assert np.abs(g - r).max() / denom < 0.06, np.abs(g - r).max() / denom
+
+
+def test_dense_chunked_tail_matches_flat():
+    """DENSE_CHUNK=2 (eval lax.map over batch chunks of the dense tail)
+    must be numerically identical to the flat batch."""
+    rng = np.random.RandomState(9)
+    batch = make_batch(rng, b=4)
+    base = {"MAX_VOXELS": 4096,
+            "LEVEL_CAPACITIES": [4096, 4096, 4096, 2048, 1024],
+            "DENSE_FROM_LEVEL": 2, "SUBM_MODE": "windowed",
+            "WINDOWED_BLOCK": 64, "WINDOWED_WINDOW": 192}
+    bb_f = VoxelResBackBone8x(model_cfg=dict(base), input_channels=5,
+                              grid_size=GRID)
+    variables = bb_f.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    ref = bb_f.apply(variables, dict(batch), train=False)
+    bb_c = VoxelResBackBone8x(model_cfg={**base, "DENSE_CHUNK": 2},
+                              input_channels=5, grid_size=GRID)
+    got = bb_c.apply(variables, dict(batch), train=False)
+    np.testing.assert_allclose(
+        np.asarray(got["encoded_spconv_tensor"]),
+        np.asarray(ref["encoded_spconv_tensor"]), rtol=1e-5, atol=1e-5)
+    # multi-scale levels keep their contract (dense at L3/L4)
+    assert got["multi_scale_3d_features"]["x_conv3"][0] == "dense"

@@ -32,8 +32,12 @@ def cfg_2d():
     })
     model["BACKBONE_3D"] = EDict({
         "NAME": "VoxelResBackBone8xVoxelNeXt2D",
-        "CHANNELS": [8, 16, 16, 32, 32, 32],
+        # reference block counts are 3/4/6/3/3/3 (44 convs) — too much to
+        # compile on this 1-core CPU; 1 block per stage exercises the same
+        # machinery (counts themselves are covered by the param-tree check)
+        "CHANNELS": [8, 8, 8, 16, 16, 16],
         "OUT_CHANNEL": 32,
+        "BLOCKS_PER_STAGE": [1, 1, 1, 1, 1, 1],
         "SUBM_MODE": "windowed",
         "WINDOWED_BLOCK": 128,
         "WINDOWED_WINDOW": 512,
@@ -84,3 +88,35 @@ def test_loss_decreases(setup):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_default_block_counts_match_reference():
+    """Default stage depths = reference 3/4/6/3/3/3
+    (spconv_backbone_voxelnext2d.py:81-129), checked via the param tree."""
+    import jax.numpy as jnp
+
+    from findnpropagate_tpu.models.backbones_3d import (
+        VoxelResBackBone8xVoxelNeXt2D,
+    )
+
+    bb = VoxelResBackBone8xVoxelNeXt2D(
+        model_cfg=EDict({"CHANNELS": [4, 4, 4, 4, 4, 4], "OUT_CHANNEL": 4,
+                         "MAX_VOXELS": 256, "WINDOWED_BLOCK": 64,
+                         "WINDOWED_WINDOW": 128, "MAX_BEV_VOXELS": 128}),
+        input_channels=4, grid_size=(32, 32, 1))
+    batch = {
+        "pillar_features": jnp.zeros((1, 256, 4)),
+        "voxel_coords": jnp.zeros((1, 256, 3), jnp.int32),
+        "voxel_mask": jnp.zeros((1, 256), bool).at[:, :32].set(True),
+    }
+    variables = bb.init(jax.random.PRNGKey(0), batch, train=False)
+    params = variables["params"]
+    import re
+
+    counts = {}
+    for k in params:
+        m = re.match(r"blocks(\d)_res(\d)_conv1", k)
+        if m:
+            counts[int(m.group(1))] = max(
+                counts.get(int(m.group(1)), 0), int(m.group(2)) + 1)
+    assert counts == {1: 3, 2: 4, 3: 6, 4: 3, 5: 3, 6: 3}, counts
