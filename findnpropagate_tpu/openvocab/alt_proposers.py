@@ -175,3 +175,102 @@ class FrustumClusterProposer:
                     np.zeros(0, np.int64))
         return (np.stack(out_boxes), np.asarray(out_scores, np.float32),
                 np.asarray(out_labels, np.int64))
+
+
+class FrustumDBSCAN:
+    """FrustumDBSCAN (frustum_dbscan.py:38-351): cluster the in-frustum
+    points of each cached 2D detection with DBSCAN and emit an
+    AXIS-ALIGNED min/max bounding box per cluster (yaw 0) — no anchor
+    priors, no scoring; the detection's label/score ride along. Options:
+    `combine_clusters` collapses all non-noise points into one cluster
+    (frustum_dbscan.py:304-308); `cluster_together` pools every frustum's
+    points (with label/camera features) into ONE clustering and
+    majority-votes each cluster's label (:219-266)."""
+
+    def __init__(self, class_names, eps: float = 0.8, min_samples: int = 5,
+                 min_cluster_size: int = 5, combine_clusters: bool = False,
+                 cluster_together: bool = False, score_thr: float = 0.1,
+                 max_dist: float = 60.0, image_size=(900, 1600)):
+        self.class_names = list(class_names)
+        self.eps = eps
+        self.min_samples = min_samples
+        self.min_cluster_size = min_cluster_size
+        self.combine_clusters = combine_clusters
+        self.cluster_together = cluster_together
+        self.score_thr = score_thr
+        self.max_dist = max_dist
+        self.image_size = image_size
+
+    def _project(self, pts, l2i):
+        hom = pts @ l2i[:3, :3].T + l2i[:3, 3]
+        depth = hom[:, 2]
+        uv = hom[:, :2] / np.clip(depth[:, None], 1e-5, None)
+        return uv, depth
+
+    @staticmethod
+    def _minmax_box(xyz):
+        lo = xyz.min(axis=0)
+        hi = xyz.max(axis=0)
+        ctr = (lo + hi) / 2
+        dim = hi - lo
+        return np.array([ctr[0], ctr[1], ctr[2], dim[0], dim[1], dim[2],
+                         0.0], np.float32)
+
+    def propose(self, points, det_boxes, det_labels, det_scores, det_cams,
+                lidar2image):
+        pts = points[:, :3]
+        frusts = []            # (xyz, label, score)
+        for di in range(len(det_boxes)):
+            if det_scores[di] < self.score_thr:
+                continue
+            cam = int(det_cams[di])
+            uv, depth = self._project(pts, lidar2image[cam])
+            x1, y1, x2, y2 = det_boxes[di]
+            on = ((depth > 0) & (uv[:, 0] >= x1) & (uv[:, 0] < x2)
+                  & (uv[:, 1] >= y1) & (uv[:, 1] < y2)
+                  & (np.linalg.norm(pts, axis=1) < self.max_dist))
+            if on.sum() == 0:
+                continue
+            frusts.append((pts[on], int(det_labels[di]),
+                           float(det_scores[di])))
+
+        out_boxes, out_scores, out_labels = [], [], []
+
+        def emit(xyz, label, score):
+            out_boxes.append(self._minmax_box(xyz))
+            out_labels.append(label)
+            out_scores.append(score)
+
+        if self.cluster_together and frusts:
+            # pooled clustering; per-cluster majority label (:245-252)
+            X = np.concatenate([f[0] for f in frusts])
+            lab = np.concatenate(
+                [np.full(len(f[0]), f[1]) for f in frusts])
+            sc = np.concatenate(
+                [np.full(len(f[0]), f[2], np.float32) for f in frusts])
+            cl = _dbscan(X, self.eps, self.min_samples)
+            for cid in range(cl.max() + 1):
+                m = cl == cid
+                if m.sum() < self.min_cluster_size:
+                    continue
+                vals, counts = np.unique(lab[m], return_counts=True)
+                emit(X[m], int(vals[np.argmax(counts)]),
+                     float(sc[m].mean()))
+        else:
+            for xyz, label, score in frusts:
+                if len(xyz) <= max(2, self.min_samples):
+                    continue
+                cl = _dbscan(xyz, self.eps, self.min_samples)
+                if self.combine_clusters:
+                    cl = np.where(cl >= 0, 0, -1)
+                for cid in range(cl.max() + 1):
+                    m = cl == cid
+                    if m.sum() < self.min_cluster_size:
+                        continue
+                    emit(xyz[m], label, score)
+
+        if not out_boxes:
+            return (np.zeros((0, 7), np.float32),
+                    np.zeros(0, np.float32), np.zeros(0, np.int64))
+        return (np.stack(out_boxes), np.asarray(out_scores, np.float32),
+                np.asarray(out_labels, np.int64))

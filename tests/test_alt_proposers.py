@@ -92,3 +92,36 @@ def test_build_relabeler_dispatch():
     l, s = r(np.zeros((2, 7), np.float32), {}, 0,
              np.asarray([1, 2]), np.asarray([0.5, 0.6]))
     assert list(l) == [1, 2]
+
+
+def test_frustum_dbscan_minmax_box():
+    """FrustumDBSCAN: the object cluster yields an axis-aligned min/max
+    box around the points; combine_clusters merges all non-noise."""
+    from findnpropagate_tpu.openvocab.alt_proposers import FrustumDBSCAN
+
+    l2i, _, _ = make_camera()
+    rng = np.random.RandomState(1)
+    box = BOXES3D[0]
+    local = rng.uniform(-0.45, 0.45, (250, 3)) * box[3:6]
+    c, s = np.cos(box[6]), np.sin(box[6])
+    pts = np.stack([local[:, 0] * c - local[:, 1] * s + box[0],
+                    local[:, 0] * s + local[:, 1] * c + box[1],
+                    local[:, 2] + box[2]], -1).astype(np.float32)
+    det = project_box_2d(box.astype(np.float64), l2i)
+
+    prop = FrustumDBSCAN(class_names=["car"] * 10, combine_clusters=True)
+    boxes, scores, labels = prop.propose(
+        pts, det[None], np.asarray([2]), np.asarray([0.8]),
+        np.asarray([0]), l2i[None])
+    assert len(boxes) == 1
+    np.testing.assert_allclose(boxes[0, :3], box[:3], atol=0.6)
+    assert labels[0] == 2 and scores[0] == np.float32(0.8)
+    # min/max fit: dims bounded by the rotated extent
+    assert (boxes[0, 3:6] <= np.linalg.norm(box[3:5]) + 0.5).all()
+
+    # cluster_together pools frustums and majority-votes labels
+    prop2 = FrustumDBSCAN(class_names=["car"] * 10, cluster_together=True)
+    boxes2, _, labels2 = prop2.propose(
+        pts, np.stack([det, det]), np.asarray([2, 2]),
+        np.asarray([0.8, 0.7]), np.asarray([0, 0]), l2i[None])
+    assert len(boxes2) >= 1 and labels2[0] == 2
