@@ -274,3 +274,161 @@ class FrustumDBSCAN:
                     np.zeros(0, np.float32), np.zeros(0, np.int64))
         return (np.stack(out_boxes), np.asarray(out_scores, np.float32),
                 np.asarray(out_labels, np.int64))
+
+
+def compute_pca_bbox(xyz):
+    """PCA-yaw oriented bounding box (frustum_ov3ddet.py:34-68
+    compute_bbox): yaw from the first 2D principal component, min/max
+    extents in the de-rotated frame, center rotated back. Returns
+    (cx, cy, cz, dx, dy, dz, yaw) with the reference's `-yaw` convention
+    applied by CALLERS (they negate)."""
+    xy = xyz[:, :2] - xyz[:, :2].mean(axis=0)
+    cov = xy.T @ xy / max(len(xy), 1)
+    _, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]                      # principal component
+    yaw = float(np.arctan2(v[1], v[0]))
+    c, s = np.cos(-yaw), np.sin(-yaw)
+    rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    local = xyz @ rot.T
+    lo, hi = local.min(axis=0), local.max(axis=0)
+    dims = hi - lo
+    ctr_local = (lo + hi) / 2
+    ctr = ctr_local @ np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                                [np.sin(yaw), np.cos(yaw), 0],
+                                [0, 0, 1.0]]).T
+    return (float(ctr[0]), float(ctr[1]), float(ctr[2]),
+            float(dims[0]), float(dims[1]), float(dims[2]), yaw)
+
+
+class FrustumOV3DET:
+    """OV-3DET-style proposer (frustum_ov3ddet.py:70-188): per 2D
+    detection, subsample the frustum points to <= 3000, DBSCAN(0.75, 20),
+    drop only the NOISE points (all clusters kept together), and fit one
+    PCA-yaw oriented min/max box; needs >= `min_points` frustum points."""
+
+    def __init__(self, class_names, eps: float = 0.75,
+                 min_samples: int = 20, min_points: int = 100,
+                 subsample_to: int = 3000, score_thr: float = 0.1,
+                 max_dist: float = 60.0, image_size=(900, 1600)):
+        self.class_names = list(class_names)
+        self.eps = eps
+        self.min_samples = min_samples
+        self.min_points = min_points
+        self.subsample_to = subsample_to
+        self.score_thr = score_thr
+        self.max_dist = max_dist
+        self.image_size = image_size
+
+    def propose(self, points, det_boxes, det_labels, det_scores, det_cams,
+                lidar2image):
+        pts = points[:, :3]
+        out_boxes, out_scores, out_labels = [], [], []
+        for di in range(len(det_boxes)):
+            if det_scores[di] < self.score_thr:
+                continue
+            l2i = lidar2image[int(det_cams[di])]
+            hom = pts @ l2i[:3, :3].T + l2i[:3, 3]
+            depth = hom[:, 2]
+            uv = hom[:, :2] / np.clip(depth[:, None], 1e-5, None)
+            x1, y1, x2, y2 = det_boxes[di]
+            on = ((depth > 0) & (uv[:, 0] >= x1) & (uv[:, 0] < x2)
+                  & (uv[:, 1] >= y1) & (uv[:, 1] < y2)
+                  & (np.linalg.norm(pts, axis=1) < self.max_dist))
+            fr = pts[on]
+            step = max(1, len(fr) // self.subsample_to)
+            fr = fr[::step]
+            if len(fr) < self.min_points:
+                continue
+            cl = _dbscan(fr, self.eps, self.min_samples)
+            keep = cl >= 0
+            if keep.sum() < 1:
+                continue
+            xc, yc, zc, l, w, h, yaw = compute_pca_bbox(fr[keep])
+            out_boxes.append(
+                np.array([xc, yc, zc, l, w, h, -yaw], np.float32))
+            out_labels.append(int(det_labels[di]))
+            out_scores.append(float(det_scores[di]))
+        if not out_boxes:
+            return (np.zeros((0, 7), np.float32),
+                    np.zeros(0, np.float32), np.zeros(0, np.int64))
+        return (np.stack(out_boxes), np.asarray(out_scores, np.float32),
+                np.asarray(out_labels, np.int64))
+
+
+# CLIP2Scene semantic label space (clip2scene_proposals.py:22-39)
+CLASSES_NUSCENES_SEG = (
+    "barrier", "bicycle", "bus", "car", "construction_vehicle",
+    "motorcycle", "pedestrian", "traffic_cone", "trailer", "truck",
+    "driveable_surface", "other_flat", "sidewalk", "terrain", "manmade",
+    "vegetation",
+)
+BG_LABEL = 100
+
+
+class Clip2SceneProposer:
+    """CLIP2SceneProposer (clip2scene_proposals.py:40-152): per-POINT
+    semantic labels (cached CLIP2Scene predictions, passed in directly
+    instead of the reference's hard-coded .pth paths) are mapped into the
+    detector class space, background dropped, foreground clustered per
+    class with DBSCAN (or pooled over xyz+label when `cluster_together`),
+    and each cluster emits one PCA-yaw oriented box with the majority
+    label, score 1.0."""
+
+    def __init__(self, class_names, eps: float = 0.25,
+                 min_samples: int = 15, min_cluster_size: int = 10,
+                 cluster_together: bool = False):
+        self.class_names = list(class_names)
+        self.eps = eps
+        self.min_samples = min_samples
+        self.min_cluster_size = min_cluster_size
+        self.cluster_together = cluster_together
+        # seg label (1-indexed) -> det label (1-indexed) or BG
+        self.label_map = np.full(len(CLASSES_NUSCENES_SEG) + 1, BG_LABEL,
+                                 np.int64)
+        self.label_map[0] = BG_LABEL
+        for k, seg in enumerate(CLASSES_NUSCENES_SEG):
+            for v, det in enumerate(self.class_names):
+                if seg == det:
+                    self.label_map[k + 1] = v + 1
+
+    def propose(self, points, point_seg_labels):
+        """points (P, 3+); point_seg_labels (P,) CLIP2Scene 0..16."""
+        pts = points[:, :3]
+        lab = self.label_map[np.clip(point_seg_labels, 0,
+                                     len(self.label_map) - 1)]
+        fg = lab != BG_LABEL
+        pts, lab = pts[fg], lab[fg]
+        out_boxes, out_scores, out_labels = [], [], []
+
+        def emit(xyz, members_lab):
+            if len(xyz) < self.min_cluster_size:
+                return
+            counts = np.bincount(members_lab)
+            xc, yc, zc, l, w, h, yaw = compute_pca_bbox(xyz)
+            out_boxes.append(
+                np.array([xc, yc, zc, l, w, h, -yaw], np.float32))
+            out_labels.append(int(np.argmax(counts)))
+            out_scores.append(1.0)
+
+        if self.cluster_together and len(pts):
+            X = np.concatenate([pts, lab[:, None].astype(np.float64)], 1)
+            cl = _dbscan(X, self.eps, self.min_samples)
+            for cid in range(cl.max() + 1):
+                m = cl == cid
+                emit(pts[m], lab[m])
+        else:
+            for det_label in range(1, len(self.class_names) + 1):
+                m = lab == det_label
+                if m.sum() == 0:
+                    continue
+                cl = _dbscan(pts[m], self.eps, self.min_samples)
+                sub = pts[m]
+                sl = lab[m]
+                for cid in range(cl.max() + 1):
+                    cm = cl == cid
+                    emit(sub[cm], sl[cm])
+        if not out_boxes:
+            return (np.zeros((0, 7), np.float32),
+                    np.zeros(0, np.float32), np.zeros(0, np.int64))
+        return (np.stack(out_boxes), np.asarray(out_scores, np.float32),
+                np.asarray(out_labels, np.int64))

@@ -125,3 +125,67 @@ def test_frustum_dbscan_minmax_box():
         pts, np.stack([det, det]), np.asarray([2, 2]),
         np.asarray([0.8, 0.7]), np.asarray([0, 0]), l2i[None])
     assert len(boxes2) >= 1 and labels2[0] == 2
+
+
+def test_pca_bbox_recovers_oriented_box():
+    """compute_pca_bbox: yaw from the principal axis, min/max extents."""
+    from findnpropagate_tpu.openvocab.alt_proposers import compute_pca_bbox
+
+    rng = np.random.RandomState(3)
+    yaw_true = 0.6
+    local = rng.uniform(-0.5, 0.5, (500, 3)) * np.array([4.0, 1.8, 1.5])
+    c, s = np.cos(yaw_true), np.sin(yaw_true)
+    pts = np.stack([local[:, 0] * c - local[:, 1] * s + 10.0,
+                    local[:, 0] * s + local[:, 1] * c - 3.0,
+                    local[:, 2] + 0.5], -1)
+    xc, yc, zc, l, w, h, yaw = compute_pca_bbox(pts)
+    np.testing.assert_allclose([xc, yc, zc], [10.0, -3.0, 0.5], atol=0.15)
+    # principal axis is the long axis (mod pi)
+    assert abs(((yaw - yaw_true) + np.pi / 2) % np.pi - np.pi / 2) < 0.12
+    assert l > w and abs(l - 4.0) < 0.5 and abs(h - 1.5) < 0.2
+
+
+def test_ov3ddet_proposer():
+    from findnpropagate_tpu.openvocab.alt_proposers import FrustumOV3DET
+
+    l2i, _, _ = make_camera()
+    rng = np.random.RandomState(5)
+    box = BOXES3D[0]
+    local = rng.uniform(-0.45, 0.45, (400, 3)) * box[3:6]
+    c, s = np.cos(box[6]), np.sin(box[6])
+    pts = np.stack([local[:, 0] * c - local[:, 1] * s + box[0],
+                    local[:, 0] * s + local[:, 1] * c + box[1],
+                    local[:, 2] + box[2]], -1).astype(np.float32)
+    det = project_box_2d(box.astype(np.float64), l2i)
+    prop = FrustumOV3DET(class_names=["car"] * 10, min_points=50)
+    boxes, scores, labels = prop.propose(
+        pts, det[None], np.asarray([1]), np.asarray([0.9]),
+        np.asarray([0]), l2i[None])
+    assert len(boxes) == 1
+    np.testing.assert_allclose(boxes[0, :3], box[:3], atol=0.5)
+
+
+def test_clip2scene_proposer_per_class_clusters():
+    from findnpropagate_tpu.openvocab.alt_proposers import (
+        Clip2SceneProposer,
+    )
+
+    rng = np.random.RandomState(7)
+    # two objects: a car cluster and a pedestrian cluster + road bg
+    car = rng.uniform(-0.5, 0.5, (200, 3)) * [4, 2, 1.5] + [10, 0, 0]
+    ped = rng.uniform(-0.5, 0.5, (80, 3)) * [0.6, 0.6, 1.7] + [5, 6, 0]
+    road = rng.uniform(-20, 20, (300, 3)) * [1, 1, 0.01]
+    points = np.concatenate([car, ped, road]).astype(np.float32)
+    # seg labels: car=4, pedestrian=7, driveable_surface=11 in CLIP2Scene
+    seg = np.concatenate([np.full(200, 4), np.full(80, 7),
+                          np.full(300, 11)])
+    class_names = ["car", "truck", "construction_vehicle", "bus",
+                   "trailer", "barrier", "motorcycle", "bicycle",
+                   "pedestrian", "traffic_cone"]
+    prop = Clip2SceneProposer(class_names, eps=0.6, min_samples=10)
+    boxes, scores, labels = prop.propose(points, seg)
+    assert len(boxes) == 2
+    got = {int(l): b for l, b in zip(labels, boxes)}
+    assert set(got) == {1, 9}  # car=1, pedestrian=9 in det space
+    np.testing.assert_allclose(got[1][:2], [10, 0], atol=0.5)
+    np.testing.assert_allclose(got[9][:2], [5, 6], atol=0.5)
