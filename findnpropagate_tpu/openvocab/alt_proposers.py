@@ -355,6 +355,276 @@ class FrustumOV3DET:
                 np.asarray(out_labels, np.int64))
 
 
+def _hdbscan(feats, min_cluster_size=5, eps=0.8):
+    """HDBSCAN when sklearn>=1.3 provides it, else DBSCAN fallback
+    (reference HDBSCANCluster, frustum_proposals.py:28-40: points below
+    min_cluster_size are all assigned one cluster)."""
+    if len(feats) < min_cluster_size:
+        return np.zeros(len(feats), np.int64)
+    try:
+        from sklearn.cluster import HDBSCAN
+
+        return HDBSCAN(min_cluster_size=min_cluster_size).fit_predict(feats)
+    except Exception:
+        return _dbscan(feats, eps, min_cluster_size)
+
+
+class FrustumProposerBase:
+    """The registered base `FrustumProposer`
+    (frustum_proposals.py:383-1067): pooled clustering of all frustum
+    points (feats = xyz + det label, HDBSCAN), then per cluster
+
+      * background rejection by the smallest SVD singular value
+        (< bg_thr -> flat sheet -> background, :860-866),
+      * a proposal line along the singular-value-weighted principal
+        direction `dirf`, spanning mean +- dirf * |anchor|/2 (:868-875),
+      * num_mags centres on that line, plus +-min(anchor_xy)/2 offsets
+        along the BEV-orthogonal of the line (create_box_proposals
+        :676-705), x num_rot yaws in [-pi/2, pi/2],
+      * multicam 2D-IoU rejection (max over the cluster's source
+        frustums' cams, min_cam_iou; calc_iou :501-523),
+      * score = iou_w*iou + inlier_w*softmax(-inlier)
+        + dns_w*softmax(npts) + occl_w*softmax(-occl)  (:563),
+      * topk, then a copy emitted per source frustum and a per-frustum
+        re-rank keeping proposals with score >= the frustum mean, final
+        score = the cluster's max camera score (:916-938).
+
+    Host-side numpy driver like the other ablation proposers (the
+    reference runs this as data-dependent python on GPU; there is no
+    tensor program worth jitting here)."""
+
+    def __init__(self, class_names, anchors=None, num_rot: int = 10,
+                 num_mags: int = 10, iou_w: float = 0.9, dns_w: float = 0.5,
+                 occl_w: float = 0.1, inlier_w: float = 0.1,
+                 min_cam_iou: float = 0.1, min_dist: float = 1.0,
+                 max_dist: float = 60.0, score_thr: float = 0.1,
+                 topk: int = 1, bg_thr: float = 0.5,
+                 min_cluster_points: int = 10, nms_2d: float = 0.4,
+                 image_size=(900, 1600)):
+        self.class_names = list(class_names)
+        self.anchors = np.asarray(
+            anchors if anchors is not None else NUSCENES_ANCHORS, np.float32)
+        self.num_rot = num_rot
+        self.num_mags = num_mags
+        self.iou_w = iou_w
+        self.dns_w = dns_w
+        self.occl_w = occl_w
+        self.inlier_w = inlier_w
+        self.min_cam_iou = min_cam_iou
+        self.min_dist = min_dist
+        self.max_dist = max_dist
+        self.score_thr = score_thr
+        self.topk = topk
+        self.bg_thr = bg_thr
+        self.min_cluster_points = min_cluster_points
+        self.nms_2d = nms_2d
+        self.image_size = image_size
+
+    def _project(self, pts, l2i):
+        hom = pts @ l2i[:3, :3].T + l2i[:3, 3]
+        depth = np.clip(hom[:, 2], 1e-5, 1e5)
+        uv = hom[:, :2] / depth[:, None]
+        return uv, hom[:, 2]
+
+    @staticmethod
+    def _softmax(x):
+        e = np.exp(x - x.max())
+        return e / e.sum()
+
+    def _cam_iou(self, boxes7, cam_box, l2i):
+        """Back-projected clamped-bbox IoU vs one 2D box (calc_iou)."""
+        from ..utils.geometry_np import boxes_to_corners_3d
+
+        h_img, w_img = self.image_size
+        cor = boxes_to_corners_3d(boxes7).reshape(-1, 3)
+        uv, _ = self._project(cor, l2i)
+        uv = uv.reshape(-1, 8, 2)
+        uv[..., 0] = np.clip(uv[..., 0], 0, w_img)
+        uv[..., 1] = np.clip(uv[..., 1], 0, h_img)
+        p1 = uv.min(axis=1)
+        p2 = uv.max(axis=1)
+        x1, y1, x2, y2 = cam_box
+        ix = np.maximum(
+            0.0, np.minimum(p2[:, 0], x2) - np.maximum(p1[:, 0], x1))
+        iy = np.maximum(
+            0.0, np.minimum(p2[:, 1], y2) - np.maximum(p1[:, 1], y1))
+        inter = ix * iy
+        union = ((p2[:, 0] - p1[:, 0]) * (p2[:, 1] - p1[:, 1])
+                 + (x2 - x1) * (y2 - y1) - inter)
+        return inter / np.maximum(union, 1e-9)
+
+    @staticmethod
+    def _points_in_boxes_count(points, boxes7):
+        """Points-per-box (assign each point to the first containing box,
+        matching points_in_boxes_gpu semantics)."""
+        counts = np.zeros(len(boxes7), np.int64)
+        if not len(points):
+            return counts
+        assigned = np.zeros(len(points), bool)
+        for i, b in enumerate(boxes7):
+            sh = points - b[:3]
+            c_, s_ = np.cos(-b[6]), np.sin(-b[6])
+            lx = sh[:, 0] * c_ - sh[:, 1] * s_
+            ly = sh[:, 0] * s_ + sh[:, 1] * c_
+            inside = (~assigned & (np.abs(lx) <= b[3] / 2)
+                      & (np.abs(ly) <= b[4] / 2)
+                      & (np.abs(sh[:, 2]) <= b[5] / 2))
+            counts[i] = inside.sum()
+            assigned |= inside
+        return counts
+
+    def _occl_scores(self, anchor, boxes7, points, dirs, mags):
+        """Occlusion evidence (calc_occl_scores :583-627): query points
+        pulled phi=min(anchor)/2 closer ("empty") and pushed phi further
+        ("occluded") along each point's view ray should NOT be in the box
+        while the real points should."""
+        phi = anchor.min() / 2.0
+        empty = dirs * (mags - phi)
+        occl = dirs * (mags + phi)
+        n_real = self._points_in_boxes_count(points, boxes7)
+        n_empty = self._points_in_boxes_count(empty, boxes7)
+        n_occl = self._points_in_boxes_count(occl, boxes7)
+        return (n_occl + n_empty - 2 * n_real) / (2.0 * max(len(points), 1))
+
+    def _inlier_scores(self, anchor, boxes7, points):
+        """Mean squared overshoot of |projection onto box axes| beyond the
+        anchor half-dims (calc_inlier_scores :629-671)."""
+        a = anchor / 2.0
+        out = np.zeros(len(boxes7), np.float32)
+        for i, b in enumerate(boxes7):
+            ry = b[6]
+            ax1 = np.array([np.cos(ry), np.sin(ry), 0.0])
+            ax2 = np.array([np.cos(ry + np.pi / 2),
+                            np.sin(ry + np.pi / 2), 0.0])
+            ax3 = np.array([0.0, 0.0, 1.0])
+            ctr = points - b[:3]
+            d0 = np.maximum(np.abs(ctr @ ax1) - a[0], 0.0)
+            d1 = np.maximum(np.abs(ctr @ ax2) - a[1], 0.0)
+            d2 = np.maximum(np.abs(ctr @ ax3) - a[2], 0.0)
+            out[i] = (d0 ** 2).mean() + (d1 ** 2).mean() + (d2 ** 2).mean()
+        return out
+
+    def _line_proposals(self, anchor, geo_min, geo_max):
+        """(num_rot, num_mags*3, 7) grid (create_box_proposals)."""
+        geo_vec = geo_max - geo_min
+        geo_dir = geo_vec / max(np.linalg.norm(geo_vec), 1e-8)
+        orthog = np.array([-geo_dir[1], geo_dir[0], geo_dir[2]])
+        rs = np.linspace(0, 1, self.num_mags)
+        centres = geo_min[None] + geo_vec[None] * rs[:, None]
+        a1 = anchor[:2].min() / 2.0
+        centres = np.concatenate(
+            [centres + orthog * a1, centres, centres - orthog * a1])
+        rots = np.linspace(-np.pi / 2, np.pi / 2, self.num_rot)
+        boxes = np.zeros((self.num_rot, len(centres), 7), np.float32)
+        boxes[:, :, 3:6] = anchor
+        boxes[:, :, :3] = centres[None]
+        boxes[:, :, 6] = rots[:, None]
+        return boxes.reshape(-1, 7)
+
+    def propose(self, points, det_boxes, det_labels, det_scores, det_cams,
+                lidar2image):
+        pts = points[:, :3]
+        mags = np.linalg.norm(pts, axis=1)
+
+        # frustum gathering (get_proposals :763-819)
+        frust_pts, frust_labels, frust_cams, frust_boxes, frust_scores = \
+            [], [], [], [], []
+        for di in range(len(det_boxes)):
+            if det_scores[di] < self.score_thr:
+                continue
+            label = int(det_labels[di])
+            if not (1 <= label <= len(self.anchors)):
+                continue
+            cam = int(det_cams[di])
+            uv, depth = self._project(pts, lidar2image[cam])
+            x1, y1, x2, y2 = det_boxes[di]
+            on = ((depth >= self.min_dist) & (depth <= self.max_dist)
+                  & (uv[:, 0] >= x1) & (uv[:, 0] < x2)
+                  & (uv[:, 1] >= y1) & (uv[:, 1] < y2))
+            if not on.any():
+                continue
+            frust_pts.append(pts[on])
+            frust_labels.append(label)
+            frust_cams.append(cam)
+            frust_boxes.append(np.asarray(det_boxes[di], np.float64))
+            frust_scores.append(float(det_scores[di]))
+        empty = (np.zeros((0, 7), np.float32), np.zeros(0, np.float32),
+                 np.zeros(0, np.int64))
+        if not frust_pts:
+            return empty
+
+        # pooled clustering over (xyz, label) feats (:822-832)
+        all_pts = np.concatenate(frust_pts)
+        all_idx = np.concatenate(
+            [np.full(len(p), i) for i, p in enumerate(frust_pts)])
+        all_lab = np.concatenate(
+            [np.full(len(p), frust_labels[i])
+             for i, p in enumerate(frust_pts)])
+        feats = np.concatenate([all_pts, all_lab[:, None]], 1)
+        cl = _hdbscan(feats)
+
+        # per-cluster proposals + scoring, bucketed per source frustum
+        per_frust = {i: [] for i in range(len(frust_pts))}
+        for cid in range(cl.max() + 1):
+            m = cl == cid
+            cpts = all_pts[m]
+            if len(cpts) < self.min_cluster_points:
+                continue
+            label = int(all_lab[m][0])
+            anchor = self.anchors[label - 1]
+            frust_set = sorted(set(all_idx[m].tolist()))
+            mean = cpts.mean(axis=0)
+            rel = cpts - mean
+            _, S, Vh = np.linalg.svd(rel, full_matrices=False)
+            if S.min() < self.bg_thr:
+                continue  # flat sheet -> background (:860-866)
+            dirf = (S[:, None] * Vh).sum(axis=0)
+            dirf = dirf / max(np.linalg.norm(dirf), 1e-8)
+            r = np.linalg.norm(anchor) / 2.0
+            boxes7 = self._line_proposals(anchor, mean - dirf * r,
+                                          mean + dirf * r)
+            ious = np.max(np.stack([
+                self._cam_iou(boxes7, frust_boxes[i],
+                              lidar2image[frust_cams[i]])
+                for i in frust_set]), axis=0)
+            keep = ious >= self.min_cam_iou
+            if not keep.any():
+                continue
+            boxes7, ious = boxes7[keep], ious[keep]
+            cmags = np.linalg.norm(cpts, axis=1, keepdims=True)
+            cdirs = cpts / np.maximum(cmags, 1e-8)
+            occl = self._occl_scores(anchor, boxes7, cpts, cdirs, cmags)
+            inl = self._inlier_scores(anchor, boxes7, cpts)
+            dens = self._points_in_boxes_count(cpts, boxes7).astype(
+                np.float32)
+            score = (ious * self.iou_w
+                     + self._softmax(-inl) * self.inlier_w
+                     + self._softmax(dens) * self.dns_w
+                     + self._softmax(-occl) * self.occl_w)
+            order = np.argsort(-score)[: self.topk]
+            cam_score = max(frust_scores[i] for i in frust_set)
+            for oi in order:
+                for fi in frust_set:
+                    per_frust[fi].append(
+                        (boxes7[oi], float(score[oi]), cam_score, label))
+
+        # per-frustum re-rank: keep >= mean proposal score (:916-938)
+        out_boxes, out_scores, out_labels = [], [], []
+        for fi, props in per_frust.items():
+            if not props:
+                continue
+            sc = np.asarray([p[1] for p in props])
+            keep = sc >= sc.mean() if len(sc) > 1 else np.ones(1, bool)
+            for k in np.flatnonzero(keep):
+                out_boxes.append(props[k][0])
+                out_scores.append(props[k][2])
+                out_labels.append(props[k][3])
+        if not out_boxes:
+            return empty
+        return (np.stack(out_boxes), np.asarray(out_scores, np.float32),
+                np.asarray(out_labels, np.int64))
+
+
 # CLIP2Scene semantic label space (clip2scene_proposals.py:22-39)
 CLASSES_NUSCENES_SEG = (
     "barrier", "bicycle", "bus", "car", "construction_vehicle",
@@ -432,3 +702,19 @@ class Clip2SceneProposer:
                     np.zeros(0, np.float32), np.zeros(0, np.int64))
         return (np.stack(out_boxes), np.asarray(out_scores, np.float32),
                 np.asarray(out_labels, np.int64))
+
+
+# Registry of ablation proposers keyed by the reference's registered NAMEs
+# (pcdet/models/dense_heads/__init__.py:38-67). CLIP2SceneCCProposer is the
+# cluster_together=True configuration of the same class
+# (clip2scene_cc_proposals.py differs only in the pooled clustering).
+ALT_PROPOSER_REGISTRY = {
+    "FrustumProposer": FrustumProposerBase,
+    "FrustumClusterProposer": FrustumClusterProposer,
+    "FrustumDBSCAN": FrustumDBSCAN,
+    "FrustumOV3DET": FrustumOV3DET,
+    "CLIP2SceneProposer": Clip2SceneProposer,
+    "CLIP2SceneCCProposer": lambda class_names, **kw: Clip2SceneProposer(
+        class_names, cluster_together=True, **kw),
+    "GTProposals": gt_proposals,
+}

@@ -189,3 +189,60 @@ def test_clip2scene_proposer_per_class_clusters():
     assert set(got) == {1, 9}  # car=1, pedestrian=9 in det space
     np.testing.assert_allclose(got[1][:2], [10, 0], atol=0.5)
     np.testing.assert_allclose(got[9][:2], [5, 6], atol=0.5)
+
+
+def test_base_frustum_proposer_svd_line():
+    """FrustumProposerBase (the registered base FrustumProposer): pooled
+    clustering + SVD-direction line search recovers a well-populated box;
+    flat ground sheets are rejected by the bg_thr singular-value gate."""
+    from findnpropagate_tpu.openvocab.alt_proposers import (
+        FrustumProposerBase,
+    )
+
+    l2i, _, _ = make_camera()
+    rng = np.random.RandomState(7)
+    box = BOXES3D[0]
+    local = rng.uniform(-0.5, 0.5, (400, 3)) * box[3:6]
+    c, s = np.cos(box[6]), np.sin(box[6])
+    pts = np.stack([local[:, 0] * c - local[:, 1] * s + box[0],
+                    local[:, 0] * s + local[:, 1] * c + box[1],
+                    local[:, 2] + box[2]], -1).astype(np.float32)
+    det = project_box_2d(box.astype(np.float64), l2i)
+
+    prop = FrustumProposerBase(class_names=["car"] * 10, topk=1,
+                               min_cam_iou=0.05, bg_thr=0.2)
+    boxes, scores, labels = prop.propose(
+        pts, det[None], np.asarray([1]), np.asarray([0.9]),
+        np.asarray([0]), l2i[None])
+    assert len(boxes) >= 1
+    best = boxes[np.argmin(np.linalg.norm(boxes[:, :2] - box[:2], axis=1))]
+    np.testing.assert_allclose(best[:2], box[:2], atol=1.5)
+    # anchor dims ride along
+    np.testing.assert_allclose(best[3:6], prop.anchors[0], atol=1e-5)
+    assert (labels == 1).all()
+    # emitted score is the camera score
+    assert np.allclose(scores, 0.9)
+
+    # a flat z=const sheet is background: smallest singular value ~ 0
+    sheet = np.concatenate(
+        [pts[:, :2] + rng.uniform(-2, 2, (len(pts), 2)),
+         np.full((len(pts), 1), box[2] - box[5] / 2)], 1).astype(np.float32)
+    b2, _, _ = prop.propose(
+        sheet, det[None], np.asarray([1]), np.asarray([0.9]),
+        np.asarray([0]), l2i[None])
+    assert len(b2) == 0
+
+
+def test_alt_proposer_registry_names():
+    """Registry exposes the reference's registered proposer NAMEs
+    (pcdet/models/dense_heads/__init__.py:38-67)."""
+    from findnpropagate_tpu.openvocab.alt_proposers import (
+        ALT_PROPOSER_REGISTRY,
+    )
+
+    for name in ("FrustumProposer", "FrustumClusterProposer",
+                 "FrustumDBSCAN", "FrustumOV3DET", "CLIP2SceneProposer",
+                 "CLIP2SceneCCProposer", "GTProposals"):
+        assert name in ALT_PROPOSER_REGISTRY
+    cc = ALT_PROPOSER_REGISTRY["CLIP2SceneCCProposer"](["car"])
+    assert cc.cluster_together

@@ -46,8 +46,20 @@ def main():
     dataset.data_augmentor = None
 
     head_cfg = cfg.MODEL.DENSE_HEAD
+    from findnpropagate_tpu.openvocab.alt_proposers import (
+        ALT_PROPOSER_REGISTRY,
+    )
+
+    alt_mode = head_cfg.NAME in ALT_PROPOSER_REGISTRY
     kitti_mode = head_cfg.NAME == "FrustumProposerOGKITTI"
-    if kitti_mode:
+    if alt_mode:
+        params = dict(head_cfg.get("PARAMS", {}))
+        if head_cfg.NAME == "GTProposals":
+            seeker = ALT_PROPOSER_REGISTRY[head_cfg.NAME]
+        else:
+            seeker = ALT_PROPOSER_REGISTRY[head_cfg.NAME](
+                cfg.CLASS_NAMES, **params)
+    elif kitti_mode:
         from findnpropagate_tpu.openvocab.frustum_proposer_kitti import (
             FrustumProposerOGKITTI,
         )
@@ -65,6 +77,45 @@ def main():
         if args.max_frames is not None and i >= args.max_frames:
             break
         data = dataset[i]
+        if alt_mode:
+            # host-side ablation proposers (GTProposals / FrustumProposer /
+            # DBSCAN / OV3DET / CLIP2Scene)
+            if head_cfg.NAME == "GTProposals":
+                boxes, scores, labels = seeker(
+                    np.asarray(data["gt_boxes"], np.float32))
+            elif head_cfg.NAME.startswith("CLIP2Scene"):
+                seg = data.get("point_seg_labels")
+                if seg is None:
+                    logger.warning("no point_seg_labels; skipping frame")
+                    continue
+                boxes, scores, labels = seeker.propose(
+                    data["points"][:, :3], np.asarray(seg))
+            else:
+                if detector2d is None:
+                    logger.warning("no PREDS_PATHS configured; nothing "
+                                   "to extract")
+                    break
+                dets = detector2d.infer(data.get("camera_paths", []))
+                dm = np.asarray(dets["det_mask"], bool)
+                boxes, scores, labels = seeker.propose(
+                    data["points"][:, :3],
+                    np.asarray(dets["det_boxes"])[dm],
+                    np.asarray(dets["det_labels"])[dm],
+                    np.asarray(dets["det_scores"])[dm],
+                    np.asarray(dets["det_cams"])[dm],
+                    np.asarray(data["lidar2image"], np.float32))
+            store.save(data["frame_id"], boxes, scores, labels)
+            if data.get("gt_boxes") is not None and len(data["gt_boxes"]):
+                from findnpropagate_tpu.utils.geometry_np import (
+                    boxes_bev_iou_cpu,
+                )
+
+                gt = np.asarray(data["gt_boxes"])[:, :7]
+                total_gt += len(gt)
+                if len(boxes):
+                    iou = boxes_bev_iou_cpu(gt, boxes[:, :7])
+                    recalls += int((iou.max(axis=1) > 0.25).sum())
+            continue
         if detector2d is None:
             logger.warning("no PREDS_PATHS configured; nothing to extract")
             break
