@@ -38,11 +38,16 @@ def main():
         cfg_from_list(args.set_cfgs, cfg)
 
     logger = create_logger()
+    # strip augs BEFORE building: the proposer consumes raw geometry, and
+    # pseudo hooks (load_frustum_pseudos etc.) are only registered by the
+    # ST runtime (reference extract_pseudo_labels.py builds the loader with
+    # the aug queue emptied)
+    if "DATA_AUGMENTOR" in cfg.DATA_CONFIG:
+        cfg.DATA_CONFIG.DATA_AUGMENTOR.AUG_CONFIG_LIST = []
     dataset, loader, _ = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=True,
         logger=logger,
     )
-    # strip augs: proposer consumes raw geometry
     dataset.data_augmentor = None
 
     head_cfg = cfg.MODEL.DENSE_HEAD
