@@ -708,7 +708,14 @@ class Clip2SceneProposer:
 # (pcdet/models/dense_heads/__init__.py:38-67). CLIP2SceneCCProposer is the
 # cluster_together=True configuration of the same class
 # (clip2scene_cc_proposals.py differs only in the pooled clustering).
+def _make_fgr(class_names, **kw):
+    from .fgr import FGR
+
+    return FGR(class_names, **kw)
+
+
 ALT_PROPOSER_REGISTRY = {
+    "FGR": _make_fgr,
     "FrustumProposer": FrustumProposerBase,
     "FrustumClusterProposer": FrustumClusterProposer,
     "FrustumDBSCAN": FrustumDBSCAN,
