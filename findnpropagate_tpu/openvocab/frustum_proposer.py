@@ -201,12 +201,15 @@ class FrustumProposerOG:
 
     def propose(self, points, points_mask, det_boxes, det_labels, det_scores,
                 det_cams, det_mask, lidar2image, camera2lidar, intrinsics,
-                lidar_aug_matrix=None):
+                lidar_aug_matrix=None, det_point_mask=None):
         """Single sample.
 
         points (P, >=3); det_* (D, ...) padded 2D detections (labels
         1-indexed, cams 0..5, boxes xyxy); matrices (NCAM, 4, 4).
-        Returns SeekerOutput with D slots.
+        `det_point_mask` (D, P) optionally restricts which points count as
+        in-frustum per detection (the SEG variant's foreground filter,
+        frustum_proposals_seg.py:394-410). Returns SeekerOutput with D
+        slots.
         """
         pts = points[:, :3]
         ncam = lidar2image.shape[0]
@@ -243,7 +246,7 @@ class FrustumProposerOG:
 
         h_img, w_img = self.image_size
 
-        def per_det(box, label, score, cam, kept):
+        def per_det(box, label, score, cam, kept, *pt_keep):
             cls = jnp.clip(label - 1, 0)
             x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
             uvd = cam_coords[cam]           # (P, 3)
@@ -253,6 +256,8 @@ class FrustumProposerOG:
                 & (uvd[:, 1] < y2) & (uvd[:, 1] >= y1)
                 & (uvd[:, 0] < x2) & (uvd[:, 0] >= x1)
             )
+            if pt_keep:
+                on_box = on_box & pt_keep[0]
             n_box_pts = jnp.sum(on_box)
             depths = uvd[:, 2]
             fmin = jnp.maximum(masked_quantile(depths, on_box, self.lq),
@@ -415,11 +420,13 @@ class FrustumProposerOG:
         def to_chunks(x):
             return x.reshape((d_all // chunk, chunk) + x.shape[1:])
 
+        operands = (to_chunks(det_boxes), to_chunks(det_labels),
+                    to_chunks(det_scores), to_chunks(jnp.clip(det_cams, 0)),
+                    to_chunks(keep))
+        if det_point_mask is not None:
+            operands = operands + (to_chunks(det_point_mask),)
         boxes_o, oracle_o, valid_o, frust_o = jax.lax.map(
-            chunk_fn,
-            (to_chunks(det_boxes), to_chunks(det_labels),
-             to_chunks(det_scores), to_chunks(jnp.clip(det_cams, 0)),
-             to_chunks(keep)),
+            chunk_fn, operands,
         )  # (D/c, c, K, 7), ...
 
         def merge(x):

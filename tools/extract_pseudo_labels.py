@@ -70,6 +70,12 @@ def main():
         )
 
         seeker = FrustumProposerOGKITTI.from_config(head_cfg, cfg.CLASS_NAMES)
+    elif head_cfg.NAME == "FrustumProposerSEG":
+        from findnpropagate_tpu.openvocab.frustum_proposer_seg import (
+            FrustumProposerSEG,
+        )
+
+        seeker = FrustumProposerSEG.from_config(head_cfg, cfg.CLASS_NAMES)
     else:
         seeker = FrustumProposerOG.from_config(head_cfg, cfg.CLASS_NAMES)
     preds_paths = head_cfg.get("PREDS_PATHS", [])
