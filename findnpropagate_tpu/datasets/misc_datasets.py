@@ -71,6 +71,16 @@ class LyftDataset(_InfoPklDataset):
                          root_path, default_root="data/lyft")
         self.max_sweeps = int(dataset_cfg.get("MAX_SWEEPS", 1))
 
+    def evaluation(self, det_annos, class_names, **kwargs):
+        """Official Lyft mAP (IoU sweep 0.5:0.95) — lyft_dataset.py:
+        evaluation -> lyft_mAP_eval.get_average_precisions."""
+        from .lyft_eval import lyft_eval
+
+        gts = [{"gt_boxes": np.asarray(i.get("gt_boxes", np.zeros((0, 7)))),
+                "gt_names": np.asarray(i.get("gt_names", []))}
+               for i in self.infos[: len(det_annos)]]
+        return lyft_eval(gts, det_annos, class_names)
+
     def get_lidar_with_sweeps(self, index, max_sweeps=1):
         info = self.infos[index]
         points = np.fromfile(

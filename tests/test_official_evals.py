@@ -1,6 +1,7 @@
 """Official Waymo / ONCE eval protocols on hand-computed fixtures."""
 
 import numpy as np
+import pytest
 
 from findnpropagate_tpu.datasets.once_eval import (
     heading_gated_iou3d,
@@ -145,3 +146,65 @@ def test_once_wrong_class_is_fp():
     assert r["AP_Pedestrian/overall"] > 99.0
     # Cyclist has no gt -> class skipped (no valid gt), not crashing
     assert "AP_Cyclist/overall" not in r
+
+
+# ------------------------------------------------------------------ Lyft
+
+def test_lyft_ap_hand_computed():
+    """lyft_mAP_eval protocol (lyft_eval.py:272-340): greedy score-order
+    matching, VOC envelope AP, IoU-threshold sweep. Hand-computed case:
+    one gt, two preds on it (second is a double-match FP), one far FP."""
+    from findnpropagate_tpu.datasets.lyft_eval import (
+        get_ap,
+        lyft_eval,
+        recall_precision,
+    )
+
+    gt = [{"sample_token": "0",
+           "box7": np.array([0, 0, 0, 4, 2, 1.5, 0.0]), "name": "car"}]
+    preds = [
+        {"sample_token": "0", "box7": np.array([0, 0, 0, 4, 2, 1.5, 0.0]),
+         "name": "car", "score": 0.9},                    # TP (IoU 1.0)
+        {"sample_token": "0",
+         "box7": np.array([0.1, 0, 0, 4, 2, 1.5, 0.0]),
+         "name": "car", "score": 0.8},                    # gt claimed -> FP
+        {"sample_token": "0", "box7": np.array([20, 0, 0, 4, 2, 1.5, 0.0]),
+         "name": "car", "score": 0.7},                    # FP
+    ]
+    recalls, precisions, ap_list = recall_precision(gt, preds, [0.5])
+    # PR points: (1, 1.0), (1, 0.5), (1, 1/3) -> envelope AP = 1.0
+    np.testing.assert_allclose(recalls[:, 0], [1.0, 1.0, 1.0])
+    np.testing.assert_allclose(precisions[:, 0], [1.0, 0.5, 1 / 3])
+    assert ap_list[0] == pytest.approx(1.0)
+
+    # VOC envelope on a crafted curve
+    ap = get_ap(np.array([0.5, 1.0]), np.array([1.0, 0.25]))
+    assert ap == pytest.approx(0.5 * 1.0 + 0.5 * 0.25)
+
+    # framework wrapper: per-frame annos -> per-class AP + mAP
+    gt_annos = [{"gt_boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.0]]),
+                 "gt_names": ["car"]}]
+    det_annos = [{"boxes": np.array([[0, 0, 0, 4, 2, 1.5, 0.0]]),
+                  "scores": np.array([0.9]), "name": ["car"]}]
+    result, metrics = lyft_eval(gt_annos, det_annos, ["car", "truck"])
+    # exact match -> TP at every threshold 0.5..0.95
+    assert metrics["AP_car"] == pytest.approx(1.0)
+    assert metrics["AP_truck"] == 0.0
+    assert metrics["mAP"] == pytest.approx(0.5)
+    assert "mAP" in result
+
+
+def test_lyft_threshold_sweep_drops_loose_matches():
+    """A det with 3D IoU ~0.57 counts at 0.5/0.55 but not above."""
+    from findnpropagate_tpu.datasets.lyft_eval import recall_precision
+
+    gt = [{"sample_token": "0",
+           "box7": np.array([0, 0, 0, 4, 2, 1.5, 0.0]), "name": "car"}]
+    # shift x by 1.0: inter = 3*2*1.5 = 9, union = 2*12 - 9 = 15 -> 0.6
+    preds = [{"sample_token": "0",
+              "box7": np.array([1.0, 0, 0, 4, 2, 1.5, 0.0]),
+              "name": "car", "score": 0.9}]
+    _, _, ap_list = recall_precision(gt, preds, [0.5, 0.55, 0.65])
+    assert ap_list[0] == pytest.approx(1.0)
+    assert ap_list[1] == pytest.approx(1.0)
+    assert ap_list[2] == pytest.approx(0.0)
