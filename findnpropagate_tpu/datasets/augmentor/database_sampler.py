@@ -57,7 +57,28 @@ class DataBaseSampler:
                 self.sample_groups[name] = int(num)
         self.num_point_features = int(sampler_cfg.get("NUM_POINT_FEATURES", 5))
 
+        # shared database (reference USE_SHARED_MEMORY + SharedArray,
+        # database_sampler.py:71-108,385-394): one monolithic array all
+        # dataloader workers share. The TPU-native equivalent is an OS
+        # page-cache-shared memmap of a stacked .npy; infos carry
+        # `global_data_offset` row ranges (build_shared_database).
+        self.db_data = None
+        if sampler_cfg.get("USE_SHARED_MEMORY", False):
+            for db_data_path in sampler_cfg.get("DB_DATA_PATH", []):
+                p = (self.root / db_data_path) if self.root \
+                    else Path(db_data_path)
+                if p.exists():
+                    self.db_data = np.load(str(p), mmap_mode="r")
+                    if logger:
+                        logger.info(
+                            f"gt_sampling: shared DB memmap {p} "
+                            f"({self.db_data.shape})")
+                    break
+
     def _load_points(self, info):
+        if self.db_data is not None and "global_data_offset" in info:
+            start, end = info["global_data_offset"]
+            return np.array(self.db_data[start:end], np.float32)
         path = self.root / info["path"]
         pts = np.fromfile(str(path), dtype=np.float32).reshape(
             -1, self.num_point_features
@@ -147,3 +168,29 @@ class DataBaseSampler:
                      np.ones(len(new_boxes), bool)]
                 )
         return data_dict
+
+
+def build_shared_database(db_infos, root_path, out_path,
+                          num_point_features=5, logger=None):
+    """Stack every per-object .bin into one (TotalRows, C) .npy monolith
+    and stamp `global_data_offset` row ranges into the infos — the
+    framework's equivalent of the reference's sdb_* SharedArray build
+    (database_sampler.py:71-108). Workers then share the array through
+    the OS page cache via np.load(mmap_mode='r'). Returns the updated
+    db_infos; callers re-pickle them next to the monolith."""
+    root = Path(root_path)
+    chunks, row = [], 0
+    for name, lst in db_infos.items():
+        for info in lst:
+            pts = np.fromfile(
+                str(root / info["path"]), dtype=np.float32
+            ).reshape(-1, num_point_features)
+            info["global_data_offset"] = (row, row + len(pts))
+            row += len(pts)
+            chunks.append(pts)
+    data = np.concatenate(chunks, axis=0) if chunks else \
+        np.zeros((0, num_point_features), np.float32)
+    np.save(str(out_path), data)
+    if logger:
+        logger.info(f"shared gt database: {data.shape} rows -> {out_path}")
+    return db_infos

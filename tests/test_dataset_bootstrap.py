@@ -158,3 +158,46 @@ def test_quat_rotation_yaw():
     q = [np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)]
     r = quat_to_rot(q)
     np.testing.assert_allclose(r @ [1, 0, 0], [0, 1, 0], atol=1e-9)
+
+
+def test_shared_database_memmap(tmp_path):
+    """USE_SHARED_MEMORY: the stacked-monolith memmap path returns the
+    same points as per-file reads (database_sampler.py:385-394)."""
+    import pickle
+
+    from findnpropagate_tpu.datasets.augmentor.database_sampler import (
+        DataBaseSampler,
+        build_shared_database,
+    )
+
+    rng = np.random.RandomState(0)
+    infos = {"Car": []}
+    for i in range(3):
+        pts = rng.randn(10 + i, 5).astype(np.float32)
+        rel = f"gt_database/car_{i}.bin"
+        (tmp_path / "gt_database").mkdir(exist_ok=True)
+        pts.tofile(str(tmp_path / rel))
+        infos["Car"].append({
+            "path": rel, "num_points_in_gt": len(pts),
+            "box3d_lidar": np.array([i * 10.0, 0, 0, 4, 2, 1.5, 0.0]),
+        })
+    infos = build_shared_database(infos, tmp_path, tmp_path / "sdb.npy")
+    with open(tmp_path / "dbinfos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+
+    cfg = {"DB_INFO_PATH": ["dbinfos.pkl"],
+           "SAMPLE_GROUPS": ["Car:3"],
+           "USE_SHARED_MEMORY": True,
+           "DB_DATA_PATH": ["sdb.npy"],
+           "NUM_POINT_FEATURES": 5}
+    s = DataBaseSampler(cfg, tmp_path, ["Car"])
+    assert s.db_data is not None
+    for i, info in enumerate(infos["Car"]):
+        via_mm = s._load_points(info)
+        direct = np.fromfile(
+            str(tmp_path / info["path"]), np.float32).reshape(-1, 5)
+        np.testing.assert_array_equal(via_mm, direct)
+    # sampler still places objects end-to-end
+    out = s({"points": np.zeros((5, 5), np.float32),
+             "gt_boxes": np.zeros((0, 7), np.float32), "gt_names": []})
+    assert len(out["gt_boxes"]) == 3
