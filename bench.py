@@ -70,6 +70,24 @@ def build_transfusion_bench(batch_size: int = 1, training: bool = False):
     from findnpropagate_tpu.models import build_network
 
     cfg = cfg_from_yaml_file("tools/cfgs/nuscenes_models/transfusion_lidar.yaml")
+    import os
+
+    # perf-experiment overrides, e.g. BENCH_SET="MODEL.BACKBONE_3D.TAP_WINDOW=1280,MODEL.BACKBONE_3D.WINDOWED_BLOCK=512"
+    for kv in filter(None, os.environ.get("BENCH_SET", "").split(",")):
+        key, val = kv.split("=")
+        node = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node[part]
+        try:
+            val = int(val)
+        except ValueError:
+            try:
+                val = float(val)
+            except ValueError:
+                pass
+        node[parts[-1]] = val
+        print(f"BENCH_SET: {key} = {val}")
     data_cfg = EDict({
         "DATASET": "SyntheticDataset",
         "POINT_CLOUD_RANGE": cfg.DATA_CONFIG.POINT_CLOUD_RANGE,

@@ -177,7 +177,7 @@ class _SparseStack(nn.Module):
 
     def _win_conv(self, src_ids, src_feats, tgt_ids, w, deltas, block,
                   window, prec, sent, train, scale=None, shift=None,
-                  relu=False):
+                  relu=False, tap_window=None):
         """Dispatch one windowed conv when SUBM_IMPL == 'pallas': the fused
         Pallas kernel on the inference path, and the differentiable wrapper
         (Pallas fwd + transposed-Pallas d_feats + XLA windowed dW) when
@@ -193,13 +193,14 @@ class _SparseStack(nn.Module):
                 return windowed_conv_pallas(
                     src_ids, src_feats, tgt_ids, w, deltas, block=block,
                     window=window, sentinel_start=sent, compute_dtype=cd,
-                    scale=scale, shift=shift, relu=relu, interpret=interp)
+                    scale=scale, shift=shift, relu=relu,
+                    tap_window=tap_window, interpret=interp)
             from ...ops.pallas_sparse import windowed_conv_pallas_diff
 
             return windowed_conv_pallas_diff(
                 src_ids, src_feats, tgt_ids, w, deltas, block=block,
                 window=window, sentinel_start=sent, compute_dtype=cd,
-                interpret=interp)
+                tap_window=tap_window, interpret=interp)
         assert scale is None, "epilogue fusion is pallas-eval only"
         return windowed_conv(
             src_ids, src_feats, tgt_ids, w, deltas, block=block,
@@ -312,6 +313,8 @@ class _SparseStack(nn.Module):
             ids, coords, valid, feats = a
             shape = m
             block, window, _, prec = self._win_cfg()
+            tap = self.model_cfg.get("TAP_WINDOW", None)
+            tap = int(tap) if tap else None
             deltas = jnp.asarray(yxz_offset_deltas(kernel, shape))
             sent = yxz_sentinel_start(shape)
             if self._fuse_epilogue(train):
@@ -323,6 +326,7 @@ class _SparseStack(nn.Module):
                     lambda i, f: self._win_conv(
                         i, f, i, w, deltas, block, window, prec, sent,
                         train, scale=bscale, shift=bshift, relu=relu,
+                        tap_window=tap,
                     )
                 )(ids, feats)
                 ovf_acc.append(jnp.sum(ovf))
@@ -330,6 +334,7 @@ class _SparseStack(nn.Module):
             out, ovf = jax.vmap(
                 lambda i, f: self._win_conv(
                     i, f, i, w, deltas, block, window, prec, sent, train,
+                    tap_window=tap,
                 )
             )(ids, feats)
             ovf_acc.append(jnp.sum(ovf))
@@ -378,6 +383,8 @@ class _SparseStack(nn.Module):
                                               out_shape)
             )(oc, ov)
             sent = strided_sentinel_start(in_shape)
+            stap = self.model_cfg.get("STRIDED_TAP_WINDOW", None)
+            stap = int(stap) if stap else None
             if self._fuse_epilogue(train):
                 bscale, bshift = bnmod.affine()
                 if b is not None:
@@ -386,6 +393,7 @@ class _SparseStack(nn.Module):
                     lambda si, sf, ti: self._win_conv(
                         si, sf, ti, w, deltas, block, swindow, prec, sent,
                         train, scale=bscale, shift=bshift, relu=True,
+                        tap_window=stap,
                     )
                 )(ids, feats, base)
                 ovf_acc.append(jnp.sum(ovf))
@@ -394,6 +402,7 @@ class _SparseStack(nn.Module):
             out, ovf = jax.vmap(
                 lambda si, sf, ti: self._win_conv(
                     si, sf, ti, w, deltas, block, swindow, prec, sent, train,
+                    tap_window=stap,
                 )
             )(ids, feats, base)
             ovf_acc.append(jnp.sum(ovf))

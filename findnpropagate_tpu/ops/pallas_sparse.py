@@ -36,12 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 ALIGN = 512
 
 
-def _fused_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, deltas_ref, w_ref,
-                  *rest, precision=None, epilogue=False, relu=False,
-                  sentinel=None):
+def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
+                  deltas_ref, w_ref, *rest, precision=None, epilogue=False,
+                  relu=False, sentinel=None, tap_window=None):
     """Grid: (NB,). One target block per step.
 
     lo_ref: (NB,) SMEM window starts (scalar-prefetched, 512-aligned)
+    tap_lo_ref: (NB, K) SMEM per-tap sub-window starts RELATIVE to lo
+    (128-aligned; all zeros when tap_window is None)
     tgt_hbm: (1, Vt) int32 ANY target ids (block i sliced by DMA)
     ids_hbm: (1, V) int32 ANY; feats_hbm: (C, V) ANY
     deltas_ref: (K, 1) SMEM; w_ref: (Cout, K*C) VMEM
@@ -49,6 +51,12 @@ def _fused_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, deltas_ref, w_ref,
     out_ref: (Cout, W_BLK) VMEM output block
     win_ids: (1, S) VMEM scratch; win_feats: (C, S) VMEM scratch
     tgt_buf: (1, W_BLK) VMEM scratch; gbuf: (K*C, W_BLK) VMEM scratch
+
+    Per-tap sub-windows (`tap_window` = S_sub < S): each tap's true
+    neighbor span is only ~(block + local-density margin) ids wide, while
+    the UNION window must cover the full d_min..d_max spread — so the
+    one-hot compare volume and the gather matmul FLOPs shrink by S/S_sub
+    when each tap reads just its own slice of the resident window.
 
     Epilogue (fused bias+BN+ReLU for the eval path): out = out*scale +
     shift, optional relu, and rows whose target id >= `sentinel` (padding /
@@ -83,12 +91,17 @@ def _fused_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, deltas_ref, w_ref,
     cp_t.wait()
 
     tgt = tgt_buf[0, :]                   # (W,)
-    wi = win_ids[0, :]                    # (S,)
-    wf = win_feats[:]                     # (C, S)
 
     def tap(kk, _):
         want = tgt + deltas_ref[kk, 0]    # (W,)
-        onehot = (wi[:, None] == want[None, :]).astype(wf.dtype)  # (S, W)
+        if tap_window is None:
+            wi = win_ids[0, :]            # (S,)
+            wf = win_feats[:]             # (C, S)
+        else:
+            off = pl.multiple_of(tap_lo_ref[i, kk], 128)
+            wi = win_ids[0, pl.ds(off, tap_window)]
+            wf = win_feats[:, pl.ds(off, tap_window)]
+        onehot = (wi[:, None] == want[None, :]).astype(wf.dtype)  # (S', W)
         g = jnp.dot(wf, onehot, preferred_element_type=jnp.float32,
                     precision=precision)  # (C, W)
         gbuf[pl.ds(pl.multiple_of(kk * c, 8), c), :] = g.astype(gbuf.dtype)
@@ -109,11 +122,12 @@ def _fused_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, deltas_ref, w_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "window", "interpret", "relu", "sentinel"))
-def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window,
-                scale=None, shift=None, relu=False, sentinel=None,
-                interpret=False):
-    """ids2 (1, V), feats_t (C, V), tgt2 (NB, block), lo (NB,), deltas (K,),
+    "block", "window", "interpret", "relu", "sentinel", "tap_window"))
+def _fused_call(ids2, feats_t, tgt2, lo, tap_lo, deltas, w_flat, block,
+                window, scale=None, shift=None, relu=False, sentinel=None,
+                tap_window=None, interpret=False):
+    """ids2 (1, V), feats_t (C, V), tgt2 (NB, block), lo (NB,),
+    tap_lo (NB, K) per-tap relative sub-window starts, deltas (K,),
     w_flat (Cout, K*C) -> out (Vt, Cout) f32. With scale/shift (Cout,) the
     affine+relu+padding-mask epilogue runs in-kernel (sentinel = first
     padding id, static)."""
@@ -129,26 +143,26 @@ def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window,
         pl.BlockSpec(memory_space=pltpu.ANY),           # tgt ids (HBM)
         pl.BlockSpec(memory_space=pltpu.ANY),           # ids (HBM)
         pl.BlockSpec(memory_space=pltpu.ANY),           # feats_t (HBM)
-        pl.BlockSpec((k, 1), lambda i, lo_ref: (0, 0),
+        pl.BlockSpec((k, 1), lambda i, *_: (0, 0),
                      memory_space=pltpu.SMEM),          # deltas
-        pl.BlockSpec((cout, k * c), lambda i, lo_ref: (0, 0),
+        pl.BlockSpec((cout, k * c), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),          # weights
     ]
-    operands = [lo, tgt2.reshape(1, -1), ids2, feats_t, deltas[:, None],
-                w_flat]
+    operands = [lo, tap_lo, tgt2.reshape(1, -1), ids2, feats_t,
+                deltas[:, None], w_flat]
     if epilogue:
         for _ in range(2):
             in_specs.append(
-                pl.BlockSpec((cout, 1), lambda i, lo_ref: (0, 0),
+                pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM))  # scale / shift
         operands.extend([scale.astype(jnp.float32)[:, None],
                          shift.astype(jnp.float32)[:, None]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,          # lo
+        num_scalar_prefetch=2,          # lo, tap_lo
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((cout, block), lambda i, lo_ref: (0, i),
+        out_specs=pl.BlockSpec((cout, block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, window), jnp.int32),
@@ -165,7 +179,8 @@ def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window,
     prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     out_t = pl.pallas_call(
         functools.partial(_fused_kernel, precision=prec, epilogue=epilogue,
-                          relu=relu, sentinel=sentinel),
+                          relu=relu, sentinel=sentinel,
+                          tap_window=tap_window),
         out_shape=jax.ShapeDtypeStruct((cout, vt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -174,16 +189,19 @@ def _fused_call(ids2, feats_t, tgt2, lo, deltas, w_flat, block, window,
 
 
 def windowed_overflow(src_ids, tgt_ids, deltas, block, window,
-                      sentinel_start=None):
+                      sentinel_start=None, tap_window=None):
     """Union-window exactness check (shared by the fwd/bwd directions):
-    counts target blocks whose true neighbor span exceeds `window`."""
+    counts target blocks whose true neighbor span exceeds `window`, plus
+    — when per-tap sub-windows are active — (block, tap) pairs whose span
+    exceeds `tap_window` (mirrors windowed_conv_pallas exactly)."""
     vs = src_ids.shape[0]
     vt = tgt_ids.shape[0]
     nb = vt // block
     window = min(window, vs)
     d_min = jnp.min(deltas)
     d_max = jnp.max(deltas)
-    lo = jnp.searchsorted(src_ids, tgt_ids[::block] + d_min)
+    block_first = tgt_ids[::block]
+    lo = jnp.searchsorted(src_ids, block_first + d_min)
     lo = jnp.minimum((lo // ALIGN) * ALIGN,
                      max(((vs - window) // ALIGN) * ALIGN, 0))
     if sentinel_start is not None:
@@ -196,7 +214,23 @@ def windowed_overflow(src_ids, tgt_ids, deltas, block, window,
         block_last = tgt_ids[block - 1::block]
         has_real = jnp.ones((nb,), bool)
     hi = jnp.searchsorted(src_ids, block_last + d_max, side="right")
-    return jnp.sum(((hi - lo) > window) & has_real)
+    total = jnp.sum(((hi - lo) > window) & has_real)
+    if tap_window is not None and tap_window < window:
+        k_taps = deltas.shape[0]
+        lo_tap_g = jnp.searchsorted(
+            src_ids,
+            (block_first[:, None] + deltas[None, :]).reshape(-1)
+        ).reshape(nb, k_taps)
+        rel = jnp.clip(((lo_tap_g - lo[:, None]) // 128) * 128,
+                       0, window - tap_window)
+        hi_tap = jnp.searchsorted(
+            src_ids,
+            (block_last[:, None] + deltas[None, :]).reshape(-1),
+            side="right").reshape(nb, k_taps)
+        total = total + jnp.sum(
+            ((hi_tap - (lo[:, None] + rel)) > tap_window)
+            & has_real[:, None])
+    return total
 
 
 def _dw_kernel(lo_ref, tgt_hbm, ids_hbm, feats_hbm, g_hbm, deltas_ref,
@@ -388,26 +422,30 @@ def _windowed_dw(src_ids, src_feats, tgt_ids, g, deltas, block, window,
 def windowed_conv_pallas_diff(src_ids, src_feats, tgt_ids, weights, deltas,
                               block: int = 512, window: int = 1536,
                               sentinel_start=None,
-                              compute_dtype=jnp.bfloat16, interpret=False):
+                              compute_dtype=jnp.bfloat16, tap_window=None,
+                              interpret=False):
     """Differentiable fused windowed conv: Pallas forward AND Pallas
-    transposed backward for d_feats; dW via the XLA windowed gather.
+    transposed backward for d_feats; dW via the fused Pallas dW kernel.
+    `tap_window` applies to BOTH directions (the transposed conv has the
+    same per-tap span structure with negated deltas).
 
     Same contract as windowed_conv_pallas minus the overflow scalar (use
     `windowed_overflow` for the runtime exactness check — it only needs the
     id lists, so callers evaluate it once outside the grad)."""
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-    def core(blk, win, cd, s_ids, t_ids, dl, feats, w):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+    def core(blk, win, cd, tw, s_ids, t_ids, dl, feats, w):
         out, _ = windowed_conv_pallas(
             s_ids, feats, t_ids, w, dl, block=blk, window=win,
-            sentinel_start=None, compute_dtype=cd, interpret=interpret)
+            sentinel_start=None, compute_dtype=cd, tap_window=tw,
+            interpret=interpret)
         return out
 
-    def fwd(blk, win, cd, s_ids, t_ids, dl, feats, w):
-        return core(blk, win, cd, s_ids, t_ids, dl, feats, w), \
+    def fwd(blk, win, cd, tw, s_ids, t_ids, dl, feats, w):
+        return core(blk, win, cd, tw, s_ids, t_ids, dl, feats, w), \
             (s_ids, t_ids, dl, feats, w)
 
-    def bwd(blk, win, cd, res, g):
+    def bwd(blk, win, cd, tw, res, g):
         import numpy as np
         from jax import dtypes
 
@@ -416,7 +454,7 @@ def windowed_conv_pallas_diff(src_ids, src_feats, tgt_ids, weights, deltas,
         d_feats, _ = windowed_conv_pallas(
             t_ids, g.astype(feats.dtype), s_ids, w_t, -dl, block=blk,
             window=win, sentinel_start=None, compute_dtype=cd,
-            interpret=interpret)
+            tap_window=tw, interpret=interpret)
         d_w = windowed_dw_pallas(s_ids, feats, t_ids, g, dl, block=blk,
                                  window=win, compute_dtype=cd,
                                  interpret=interpret)
@@ -431,12 +469,14 @@ def windowed_conv_pallas_diff(src_ids, src_feats, tgt_ids, weights, deltas,
     # block multiples (backbone invariant).
     assert src_ids.shape[0] % block == 0, "pad Vs to a block multiple"
     assert tgt_ids.shape[0] % block == 0, "pad Vt to a block multiple"
-    out = core(block, window, compute_dtype, src_ids, tgt_ids, deltas,
-               src_feats, weights)
+    out = core(block, window, compute_dtype, tap_window, src_ids, tgt_ids,
+               deltas, src_feats, weights)
     ovf = windowed_overflow(src_ids, tgt_ids, deltas, block, window,
-                            sentinel_start=sentinel_start)
+                            sentinel_start=sentinel_start,
+                            tap_window=tap_window)
     ovf = ovf + windowed_overflow(tgt_ids, src_ids, -deltas, block, window,
-                                  sentinel_start=sentinel_start)
+                                  sentinel_start=sentinel_start,
+                                  tap_window=tap_window)
     return out, ovf
 
 
@@ -444,10 +484,18 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
                          block: int = 512, window: int = 1536,
                          sentinel_start=None, compute_dtype=jnp.bfloat16,
                          scale=None, shift=None, relu=False,
-                         interpret=False):
+                         tap_window=None, interpret=False):
     """Drop-in fused variant of sparse_ops.windowed_conv (same contract,
     same (out, overflow) return). One UNION window per target block covers
     all taps; window starts/sizes are 512-aligned for the DMA engine.
+
+    tap_window (static int, 128-multiple): per-tap sub-windows — each
+    tap's one-hot gather reads only its own ~block-wide slice of the
+    resident union window, cutting the compare volume and tap-matmul
+    FLOPs by window/tap_window. Per-(block, tap) starts ride the scalar
+    prefetch; the returned overflow also counts taps whose true span
+    exceeds tap_window (same runtime exactness contract as the union
+    check).
 
     scale/shift (Cout,): fuse the eval-path bias+BN affine (+ optional
     relu) and the padding-row zeroing into the kernel epilogue — requires
@@ -493,6 +541,29 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
     hi = jnp.searchsorted(src_ids, block_last + d_max, side="right")
     overflow = jnp.sum(((hi - lo) > window) & has_real)
 
+    # per-(block, tap) sub-window starts, 128-aligned and relative to lo
+    k_taps = deltas.shape[0]
+    if tap_window is not None and tap_window < window:
+        assert tap_window % 128 == 0, "tap_window must be a 128-multiple"
+        lo_tap_g = jnp.searchsorted(
+            src_ids,
+            (block_first[:, None] + deltas[None, :]).reshape(-1)
+        ).reshape(nb, k_taps)
+        rel = jnp.clip(((lo_tap_g - lo[:, None]) // 128) * 128,
+                       0, window - tap_window).astype(jnp.int32)
+        hi_tap = jnp.searchsorted(
+            src_ids,
+            (block_last[:, None] + deltas[None, :]).reshape(-1),
+            side="right").reshape(nb, k_taps)
+        overflow = overflow + jnp.sum(
+            ((hi_tap - (lo[:, None] + rel)) > tap_window)
+            & has_real[:, None])
+        tap_lo = rel
+        tap_window_eff = tap_window
+    else:
+        tap_lo = jnp.zeros((nb, k_taps), jnp.int32)
+        tap_window_eff = None
+
     # sublane tiling needs channel counts in multiples of 8: zero-pad Cin
     # (extra zero rows contribute nothing) and Cout (sliced off after)
     cin_p = -(-cin // 8) * 8
@@ -521,9 +592,10 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
     w_flat = jnp.transpose(weights, (2, 0, 1)).reshape(cout_p, k * cin_p)
     w_flat = w_flat.astype(compute_dtype)
     out = _fused_call(src_ids[None, :], feats_t, tgt_ids.reshape(nb, block),
-                      lo, deltas, w_flat, block, window,
+                      lo, tap_lo, deltas, w_flat, block, window,
                       scale=scale, shift=shift, relu=relu,
                       sentinel=int(sentinel_start)
                       if scale is not None else None,
+                      tap_window=tap_window_eff,
                       interpret=interpret)
     return out[:, :cout].astype(src_feats.dtype), overflow

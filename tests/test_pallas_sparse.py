@@ -163,3 +163,61 @@ def test_dw_kernel_matches_xla_windowed_dw_interpret():
                              interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_tap_window_forward_parity_interpret():
+    """Per-tap sub-windows: same outputs as the full-window kernel when no
+    tap overflows; the overflow counter fires when tap_window is too
+    small."""
+    ids, feats, w, deltas, sent = make_case(seed=11, n_active=1400)
+    ref, _ = windowed_conv(ids, feats, ids, w, deltas, block=512,
+                           window=1536, sentinel_start=sent)
+    got, ovf = windowed_conv_pallas(
+        ids, feats, ids, w, deltas, block=512, window=1536,
+        sentinel_start=sent, compute_dtype=jnp.float32, tap_window=1024,
+        interpret=True)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # a tiny tap window must overflow (span ~ block + margin > 128)
+    _, ovf_small = windowed_conv_pallas(
+        ids, feats, ids, w, deltas, block=512, window=1536,
+        sentinel_start=sent, compute_dtype=jnp.float32, tap_window=128,
+        interpret=True)
+    assert int(ovf_small) > 0
+
+    from findnpropagate_tpu.ops.pallas_sparse import windowed_overflow
+
+    assert int(windowed_overflow(ids, ids, deltas, 512, 1536,
+                                 sentinel_start=sent,
+                                 tap_window=1024)) == 0
+    assert int(windowed_overflow(ids, ids, deltas, 512, 1536,
+                                 sentinel_start=sent,
+                                 tap_window=128)) > 0
+
+
+def test_tap_window_grad_parity_interpret():
+    """Differentiable path with tap sub-windows matches the XLA reference
+    gradients."""
+    import jax
+
+    ids, feats, w, deltas, sent = make_case(seed=12, n_active=900)
+
+    def loss_ref(f, ww):
+        out, _ = windowed_conv(ids, f, ids, ww, deltas, block=512,
+                               window=1536, sentinel_start=sent)
+        return jnp.sum(out ** 2)
+
+    def loss_tap(f, ww):
+        out, _ = windowed_conv_pallas_diff(
+            ids, f, ids, ww, deltas, block=512, window=1536,
+            sentinel_start=sent, compute_dtype=jnp.float32,
+            tap_window=1024, interpret=True)
+        return jnp.sum(out ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    gt = jax.grad(loss_tap, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gt[0]), np.asarray(gr[0]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gt[1]), np.asarray(gr[1]),
+                               rtol=1e-3, atol=1e-3)
