@@ -148,15 +148,24 @@ def bench_inference(batch_size: int, iters: int = 10):
 
     # occupancy audit (VERDICT r2): sparse throughput depends on per-level
     # active counts; report them so the synthetic proxy is checkable
-    # against real nuScenes sweeps (~60k/55k/27k/13k at batch 1)
-    counts = None
+    # against real nuScenes sweeps (~60k/55k/27k/13k at batch 1). The
+    # window-overflow counter MUST be zero — a non-zero value means the
+    # configured per-level windows truncate real neighbor spans and every
+    # perf number is measuring wrong activations.
+    counts, overflow = None, None
     try:
-        out = jax.jit(lambda v, b: det.apply(v, b, train=False)
-                      ["sparse_active_counts"])(variables, batch)
-        counts = [int(c) // batch_size for c in out]
+        out = jax.jit(lambda v, b: (
+            det.apply(v, b, train=False)["sparse_active_counts"],
+            det.apply(v, b, train=False).get("sparse_window_overflow", -1),
+        ))(variables, batch)
+        counts = [int(c) // batch_size for c in out[0]]
+        overflow = int(out[1])
+        if overflow != 0:
+            print(json.dumps({"warning": "sparse_window_overflow",
+                              "value": overflow}))
     except Exception:
         pass
-    return batch_size / per_batch, counts
+    return batch_size / per_batch, counts, overflow
 
 
 def bench_train(batch_size: int, iters: int = 6, accum_steps: int = 1):
@@ -354,9 +363,11 @@ def main():
         except Exception as e:
             print(json.dumps({"metric": "train_step", "error": repr(e)[:300]}))
     if args.mode in ("all", "infer"):
-        v, counts = bench_inference(args.batch_size)
+        v, counts, overflow = bench_inference(args.batch_size)
         if counts is not None:
             extras["active_voxels_per_level"] = counts
+        if overflow is not None:
+            extras["window_overflow"] = overflow
         print(json.dumps({
             "metric": "transfusion_lidar_nuscenes_inference",
             "value": round(v, 2),

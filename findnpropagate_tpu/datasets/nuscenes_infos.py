@@ -90,9 +90,19 @@ class NuScenesTables:
             rows = json.loads(fp.read_text()) if fp.exists() else []
             self._tables[name] = rows
             self._index[name] = {r["token"]: r for r in rows}
-        # per-sample annotation lists
+        # per-sample annotation lists + the devkit's reverse index: raw
+        # sample_annotation rows carry only instance_token; the devkit
+        # injects category_name (nuscenes.py __make_reverse_index__) and
+        # downstream code relies on it
         self._sample_anns = {}
+        inst = self._index.get("instance", {})
+        cat = self._index.get("category", {})
         for ann in self._tables["sample_annotation"]:
+            if "category_name" not in ann:
+                it = ann.get("instance_token")
+                ct = inst.get(it, {}).get("category_token")
+                if ct in cat:
+                    ann["category_name"] = cat[ct]["name"]
             self._sample_anns.setdefault(ann["sample_token"], []).append(ann)
 
     def get(self, table, token):

@@ -44,6 +44,7 @@ from ...ops.sparse_ops import (
     strided_sentinel_start,
     subm_conv,
     win_downsample,
+    win_downsample_scatter,
     windowed_conv,
     yxz_linear_ids,
     yxz_offset_deltas,
@@ -164,11 +165,32 @@ class _SparseStack(nn.Module):
     # into the input id space (strided_base_ids); downsamples emit already-
     # sorted actives (win_downsample). PERF.md round-2 plan (a)-(c).
 
-    def _win_cfg(self):
+    @staticmethod
+    def _per_level(val, level, default=None):
+        """Window knobs accept a scalar or a PER-LEVEL list (coarser levels
+        have more scattered actives, so their neighbor spans — and thus the
+        windows — must grow; measured on the flagship scene: L0 subm union
+        1721, L1 3036, L2 2771; L1->L2 strided 5495. PERF.md round-3)."""
+        if val is None:
+            return default
+        if isinstance(val, (list, tuple)):
+            val = val[min(level, len(val) - 1)]
+        val = int(val)
+        return val if val > 0 else default  # 0 disables (tap knobs)
+
+    def _level_index(self, shape):
+        """Static level index from the level's (static) sparse shape."""
+        for i, s in enumerate(self.level_shapes):
+            if tuple(s) == tuple(shape):
+                return i
+        return 0
+
+    def _win_cfg(self, level: int = 0):
         cfg = self.model_cfg
         block = int(cfg.get("WINDOWED_BLOCK", 640))
-        window = int(cfg.get("WINDOWED_WINDOW", 1024))
-        swindow = int(cfg.get("WINDOWED_STRIDED_WINDOW", 4 * window))
+        window = self._per_level(cfg.get("WINDOWED_WINDOW", 1024), level)
+        swindow = self._per_level(
+            cfg.get("WINDOWED_STRIDED_WINDOW", None), level, 4 * window)
         prec_name = str(cfg.get("WINDOWED_PRECISION", "default")).lower()
         prec = {"default": None,
                 "high": jax.lax.Precision.HIGH,
@@ -312,9 +334,10 @@ class _SparseStack(nn.Module):
         if kind == "win":
             ids, coords, valid, feats = a
             shape = m
-            block, window, _, prec = self._win_cfg()
-            tap = self.model_cfg.get("TAP_WINDOW", None)
-            tap = int(tap) if tap else None
+            lvl_i = self._level_index(shape)
+            block, window, _, prec = self._win_cfg(lvl_i)
+            tap = self._per_level(
+                self.model_cfg.get("TAP_WINDOW", None), lvl_i)
             deltas = jnp.asarray(yxz_offset_deltas(kernel, shape))
             sent = yxz_sentinel_start(shape)
             if self._fuse_epilogue(train):
@@ -367,10 +390,24 @@ class _SparseStack(nn.Module):
         if kind == "win":
             ids, coords, valid, feats = a
             in_shape = m
-            block, _, swindow, prec = self._win_cfg()
+            lvl_i = self._level_index(in_shape)
+            block, _, swindow, prec = self._win_cfg(lvl_i)
             cap = -(-cap // block) * block  # keep Vt a block multiple
+            # downsample impl is regime-dependent: the 8V-entry bitonic
+            # sort is serial-depth-bound and dominates batch-1 latency
+            # (92 ms at L0) but lane-parallelizes perfectly across a big
+            # batch; the scatter+rank-select build is O(V) but
+            # scatter-row-rate-bound, so it wins at batch<=2 and loses
+            # badly at batch 32 (PERF.md round-3). "auto" picks by the
+            # traced batch size.
+            ds_impl = str(self.model_cfg.get("DOWNSAMPLE_IMPL",
+                                             "auto")).lower()
+            if ds_impl == "auto":
+                ds_impl = "scatter" if coords.shape[0] <= 2 else "sort"
+            ds_fn = win_downsample_scatter if ds_impl == "scatter" \
+                else win_downsample
             oi, oc, ov = jax.vmap(
-                lambda c, v: win_downsample(
+                lambda c, v: ds_fn(
                     c, v, in_shape, out_shape, cap, kernel_size=kernel,
                     stride=stride, padding=padding,
                 )
@@ -383,8 +420,8 @@ class _SparseStack(nn.Module):
                                               out_shape)
             )(oc, ov)
             sent = strided_sentinel_start(in_shape)
-            stap = self.model_cfg.get("STRIDED_TAP_WINDOW", None)
-            stap = int(stap) if stap else None
+            stap = self._per_level(
+                self.model_cfg.get("STRIDED_TAP_WINDOW", None), lvl_i)
             if self._fuse_epilogue(train):
                 bscale, bshift = bnmod.affine()
                 if b is not None:
@@ -582,6 +619,8 @@ class _SparseStack(nn.Module):
             # configured window and activations are wrong — surfaced for
             # trainer logging and asserted zero in tests.
             batch["sparse_window_overflow"] = sum(ovf_acc)
+            if bool(self.model_cfg.get("DEBUG_OVERFLOW_PER_CONV", False)):
+                batch["sparse_window_overflow_per_conv"] = jnp.stack(ovf_acc)
         return batch
 
 

@@ -168,3 +168,32 @@ def test_dense_chunked_tail_matches_flat():
         np.asarray(ref["encoded_spconv_tensor"]), rtol=1e-5, atol=1e-5)
     # multi-scale levels keep their contract (dense at L3/L4)
     assert got["multi_scale_3d_features"]["x_conv3"][0] == "dense"
+
+def test_per_level_window_lists_and_scatter_downsample():
+    """Window knobs accept PER-LEVEL lists and DOWNSAMPLE_IMPL=scatter;
+    output must match the scalar-knob sort-downsample reference exactly
+    (the windows below are ample for this scene, so all variants see the
+    full neighbor unions)."""
+    rng = np.random.RandomState(12)
+    batch = make_batch(rng)
+    base = {"MAX_VOXELS": 4096,
+            "LEVEL_CAPACITIES": [4096, 4096, 4096, 2048, 1024],
+            "DENSE_FROM_LEVEL": 2, "SUBM_MODE": "windowed",
+            "WINDOWED_BLOCK": 64, "WINDOWED_WINDOW": 256}
+    bb_ref = VoxelResBackBone8x(model_cfg=dict(base), input_channels=5,
+                                grid_size=GRID)
+    variables = bb_ref.init(jax.random.PRNGKey(0), dict(batch), train=False)
+    ref = bb_ref.apply(variables, dict(batch), train=False)
+    bb_l = VoxelResBackBone8x(
+        model_cfg={**base,
+                   "WINDOWED_WINDOW": [256, 320, 320],
+                   "WINDOWED_STRIDED_WINDOW": [1024, 1280, 1280],
+                   "TAP_WINDOW": [128, 192, 192],
+                   "STRIDED_TAP_WINDOW": [256, 512, 512],
+                   "DOWNSAMPLE_IMPL": "scatter"},
+        input_channels=5, grid_size=GRID)
+    got = bb_l.apply(variables, dict(batch), train=False)
+    assert int(got["sparse_window_overflow"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(got["encoded_spconv_tensor"]),
+        np.asarray(ref["encoded_spconv_tensor"]), rtol=1e-4, atol=1e-4)

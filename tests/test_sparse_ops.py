@@ -319,3 +319,40 @@ def test_win_downsample_sorted_and_exact():
     ref_set = {tuple(c) for c, v in zip(np.asarray(oc_ref), np.asarray(ov_ref)) if v}
     got_set = {tuple(c) for c, v in zip(np.asarray(oc), np.asarray(ov)) if v}
     assert ref_set == got_set
+
+
+def test_win_downsample_scatter_matches_sort():
+    """The sort-free scatter+rank-select downsample must reproduce
+    win_downsample EXACTLY (ids, coords, valid — including the ascending
+    sentinel tail) across kernel/stride/padding variants the backbones use
+    and both over- and under-full max_out."""
+    from findnpropagate_tpu.ops.sparse_ops import (
+        win_downsample, win_downsample_scatter,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), 96),
+        ((3, 3, 3), (2, 2, 2), (0, 1, 1), 96),
+        ((3, 1, 1), (2, 1, 1), (0, 0, 0), 128),
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), 16),   # max_out overflow
+    ]
+    for kernel, stride, padding, max_out in cases:
+        out_shape = tuple(
+            (n + 2 * p - k) // s + 1
+            for n, k, s, p in zip(SHAPE, kernel, stride, padding))
+        coords, valid, _ = random_sparse(rng, 70, 96, 1)
+        args = (jnp.asarray(coords), jnp.asarray(valid), SHAPE, out_shape,
+                max_out)
+        kw = dict(kernel_size=kernel, stride=stride, padding=padding)
+        ri, rc, rv = win_downsample(*args, **kw)
+        gi, gc, gv = win_downsample_scatter(*args, **kw, sel_block=64)
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv),
+                                      err_msg=str((kernel, stride, padding)))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+        # valid slots must agree on ids; sentinel tails are both ascending
+        # and above the real range (exact values may differ by construction)
+        gi, ri = np.asarray(gi), np.asarray(ri)
+        v = np.asarray(rv)
+        np.testing.assert_array_equal(gi[v], ri[v])
+        assert np.all(np.diff(gi) > 0), "scatter ids must stay ascending"

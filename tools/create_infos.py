@@ -9,6 +9,10 @@ Usage:
   python tools/create_infos.py kitti --data_path data/kitti [--gt_database]
   python tools/create_infos.py nuscenes --data_path data/nuscenes \
       --version v1.0-trainval --max_sweeps 10 [--with_cam] [--gt_database]
+  python tools/create_infos.py lyft --data_path data/lyft/trainval \
+      --max_sweeps 10
+  python tools/create_infos.py pandaset --data_path data/pandaset
+  python tools/create_infos.py argo2 --data_path data/argo2/sensor
 """
 
 from __future__ import annotations
@@ -22,7 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("dataset", choices=["kitti", "nuscenes"])
+    ap.add_argument("dataset", choices=["kitti", "nuscenes", "lyft",
+                                        "pandaset", "argo2"])
     ap.add_argument("--data_path", required=True)
     ap.add_argument("--save_path", default=None)
     ap.add_argument("--version", default="v1.0-trainval")
@@ -42,7 +47,7 @@ def main():
             create_groundtruth_database(
                 args.data_path, out["train"], args.save_path,
                 used_classes=args.classes)
-    else:
+    elif args.dataset == "nuscenes":
         from findnpropagate_tpu.datasets.nuscenes_infos import (
             create_groundtruth_database, create_nuscenes_infos,
         )
@@ -54,6 +59,21 @@ def main():
             create_groundtruth_database(
                 args.data_path, out["train"], args.save_path,
                 used_classes=args.classes)
+    elif args.dataset == "lyft":
+        from findnpropagate_tpu.datasets.misc_infos import create_lyft_infos
+
+        create_lyft_infos(args.data_path, args.save_path,
+                          max_sweeps=args.max_sweeps)
+    elif args.dataset == "pandaset":
+        from findnpropagate_tpu.datasets.misc_infos import (
+            create_pandaset_infos,
+        )
+
+        create_pandaset_infos(args.data_path, args.save_path)
+    else:
+        from findnpropagate_tpu.datasets.misc_infos import create_argo2_infos
+
+        create_argo2_infos(args.data_path, args.save_path)
 
 
 if __name__ == "__main__":

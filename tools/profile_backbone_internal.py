@@ -57,17 +57,13 @@ def main():
         to_bb_input(variables, batch))
     print("bb input:", feats0.shape, flush=True)
 
-    bb = det.backbone_3d
-    bvars = {"params": variables["params"]["backbone_3d"]}
-    if "batch_stats" in variables:
-        bvars["batch_stats"] = variables["batch_stats"].get(
-            "backbone_3d", {})
+    bb = det.module.bind(variables).backbone_3d  # static attrs only
 
     def bound(fn):
         """fn(bb_bound, s, ...) -> scalar; returns jitted chained fn."""
         @jax.jit
         def run(s, *args):
-            m = bb.bind(bvars)
+            m = det.module.bind(variables).backbone_3d
             return fn(m, s, *args)
         return run
 
@@ -83,7 +79,7 @@ def main():
     # materialize the entry level once for downstream timings
     @jax.jit
     def entry(feats):
-        m = bb.bind(bvars)
+        m = det.module.bind(variables).backbone_3d
         lv = m._win_entry(coords0, mask0, feats, s1, [])
         return lv[1]
     e_ids, e_coords, e_valid, e_feats = jax.block_until_ready(entry(feats0))
@@ -100,7 +96,7 @@ def main():
 
     @jax.jit
     def run_l0(feats):
-        m = bb.bind(bvars)
+        m = det.module.bind(variables).backbone_3d
         lv = ("win", (e_ids, e_coords, e_valid, feats), s1)
         lv = m._subm(lv, m.w_input, m.bn_input, False, [])
         lv = m._blocks(m.blocks1, lv, False, [])
@@ -135,7 +131,7 @@ def main():
 
     @jax.jit
     def run_down1(feats):
-        m = bb.bind(bvars)
+        m = det.module.bind(variables).backbone_3d
         lv = ("win", (l0[0], l0[1], l0[2], feats), s1)
         lv = m._down(lv, m.blocks2["down"], m.blocks2["down_bn"], False,
                      s2, bb.caps[2], [], padding=(1, 1, 1))
@@ -152,7 +148,7 @@ def main():
 
     @jax.jit
     def run_l1(feats):
-        m = bb.bind(bvars)
+        m = det.module.bind(variables).backbone_3d
         lv = ("win", (l1d[0], l1d[1], l1d[2], feats), s2)
         lv = m._blocks(m.blocks2, lv, False, [])
         return lv[1]
@@ -169,7 +165,7 @@ def main():
 
     @jax.jit
     def run_down2(feats):
-        m = bb.bind(bvars)
+        m = det.module.bind(variables).backbone_3d
         lv = ("win", (l1[0], l1[1], l1[2], feats), s2)
         lv = m._down(lv, m.blocks3["down"], m.blocks3["down_bn"], False,
                      s3, bb.caps[3], [], padding=(1, 1, 1))
@@ -185,7 +181,7 @@ def main():
 
     @jax.jit
     def run_l2(feats):
-        m = bb.bind(bvars)
+        m = det.module.bind(variables).backbone_3d
         lv = ("win", (l2d[0], l2d[1], l2d[2], feats), s3)
         lv = m._blocks(m.blocks3, lv, False, [])
         return lv[1]
