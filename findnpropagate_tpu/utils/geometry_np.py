@@ -129,17 +129,65 @@ def points_in_boxes_mask(points, boxes):
     )
 
 
+def _clip_halfplane(poly, a, b):
+    """Clip convex polygon `poly` (K, 2) by the half-plane left of a->b."""
+    e = b - a
+    d = e[0] * (poly[:, 1] - a[1]) - e[1] * (poly[:, 0] - a[0])
+    out = []
+    k = len(poly)
+    for i in range(k):
+        cur, nxt = poly[i], poly[(i + 1) % k]
+        dc, dn = d[i], d[(i + 1) % k]
+        if dc >= 0:
+            out.append(cur)
+        if (dc >= 0) != (dn >= 0):
+            t = dc / (dc - dn)
+            out.append(cur + t * (nxt - cur))
+    return np.asarray(out) if out else np.zeros((0, 2))
+
+
+def _rect_inter_area(ca, cb):
+    """Exact intersection area of two rectangles given CCW corners (4, 2)."""
+    poly = ca.astype(np.float64)
+    cb = cb.astype(np.float64)
+    # CCW so left-of-edge == inside
+    e0, e1 = cb[1] - cb[0], cb[2] - cb[1]
+    if e0[0] * e1[1] - e0[1] * e1[0] < 0:
+        cb = cb[::-1]
+    for e in range(4):
+        poly = _clip_halfplane(poly, cb[e], cb[(e + 1) % 4])
+        if len(poly) < 3:
+            return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
 def boxes_bev_iou_cpu(boxes_a, boxes_b):
-    """Axis-aligned-approximate BEV IoU for host-side collision checks
-    (used where the reference calls its CPU IoU for augmentation)."""
+    """EXACT rotated BEV IoU for host-side collision checks — the contract
+    of the reference's iou3d_nms_utils.boxes_bev_iou_cpu (C++ polygon clip,
+    pcdet/ops/iou3d_nms/src/iou3d_cpu.cpp). Fast path: the native C++
+    library (findnpropagate_tpu/native); fallback: numpy Sutherland-Hodgman
+    with an AABB pre-filter (pairs whose axis-aligned hulls don't touch
+    have IoU exactly 0)."""
+    boxes_a = np.asarray(boxes_a, np.float32)
+    boxes_b = np.asarray(boxes_b, np.float32)
+    if boxes_a.size == 0 or boxes_b.size == 0:
+        return np.zeros((len(boxes_a), len(boxes_b)), np.float32)
+    from .. import native
+
+    if native.available():
+        return native.iou_bev7(boxes_a[:, :7], boxes_b[:, :7])
     ca = boxes_to_corners_bev(boxes_a)
     cb = boxes_to_corners_bev(boxes_b)
     a_min, a_max = ca.min(axis=1), ca.max(axis=1)
     b_min, b_max = cb.min(axis=1), cb.max(axis=1)
-    lt = np.maximum(a_min[:, None], b_min[None, :])
-    rb = np.minimum(a_max[:, None], b_max[None, :])
-    wh = np.clip(rb - lt, 0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    area_a = (a_max - a_min).prod(axis=1)[:, None]
-    area_b = (b_max - b_min).prod(axis=1)[None, :]
-    return inter / np.clip(area_a + area_b - inter, 1e-8, None)
+    touch = ((a_min[:, None] <= b_max[None, :])
+             & (a_max[:, None] >= b_min[None, :])).all(-1)
+    area_a = boxes_a[:, 3] * boxes_a[:, 4]
+    area_b = boxes_b[:, 3] * boxes_b[:, 4]
+    out = np.zeros((len(boxes_a), len(boxes_b)), np.float32)
+    for i, j in zip(*np.nonzero(touch)):
+        inter = _rect_inter_area(ca[i], cb[j])
+        union = float(area_a[i]) + float(area_b[j]) - inter
+        out[i, j] = inter / union if union > 1e-8 else 0.0
+    return out
