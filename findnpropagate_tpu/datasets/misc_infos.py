@@ -401,3 +401,103 @@ def create_argo2_infos(data_path, save_path=None, splits=("train", "val"),
         emit(f"argo2 infos {split}: {len(infos)} -> {fp}")
         out[split] = fp
     return out
+
+
+# ---------------------------------------------------------------------------
+# ONCE
+# ---------------------------------------------------------------------------
+
+def create_once_infos(data_path, save_path=None, splits=("train", "val"),
+                      logger=None):
+    """Devkit-free ONCE info generation — the raw release is per-sequence
+    JSON (`data/<seq>/<seq>.json`: meta_info, per-cam calib, frames with
+    pose + optional annos) plus lidar bins. Parity target:
+    pcdet/datasets/once/once_dataset.py:155-290 `get_infos` (/root/reference):
+    split sequence lists from ImageSets/<split>.txt, frame dicts with
+    prev/next ids + cam paths + calib arrays, annotated frames with zero
+    boxes skipped, num_points_in_gt counted in the lidar frame (in_hull of
+    the box corners == box containment; counted here with the exact
+    points-in-boxes kernel)."""
+    from ..utils.geometry_np import points_in_boxes_mask
+
+    root = Path(data_path)
+    emit = logger.info if logger else print
+    cam_names = ["cam01", "cam03", "cam05", "cam06", "cam07", "cam08",
+                 "cam09"]
+    save = Path(save_path or root)
+    save.mkdir(parents=True, exist_ok=True)
+    out = {}
+    for split in splits:
+        split_fp = root / "ImageSets" / f"{split}.txt"
+        if not split_fp.exists():
+            emit(f"once infos: no split list {split_fp}, skipping")
+            continue
+        seq_ids = [s for s in split_fp.read_text().split() if s]
+        infos = []
+        for seq_idx in seq_ids:
+            seq_path = root / "data" / seq_idx
+            with open(seq_path / f"{seq_idx}.json") as f:
+                seq_json = json.load(f)
+            meta_info = seq_json.get("meta_info")
+            calib = seq_json.get("calib", {})
+            frames = seq_json["frames"]
+            for f_idx, frame in enumerate(frames):
+                frame_id = frame["frame_id"]
+                info = {
+                    "sequence_id": seq_idx,
+                    "frame_id": frame_id,
+                    "timestamp": int(frame_id),
+                    "prev_id": (frames[f_idx - 1]["frame_id"]
+                                if f_idx > 0 else None),
+                    "next_id": (frames[f_idx + 1]["frame_id"]
+                                if f_idx + 1 < len(frames) else None),
+                    "meta_info": meta_info,
+                    "lidar": str(seq_path / "lidar_roof"
+                                 / f"{frame_id}.bin"),
+                    "pose": np.asarray(frame["pose"]),
+                }
+                calib_dict = {}
+                for cam in cam_names:
+                    if cam not in calib:
+                        continue
+                    info[cam] = str(seq_path / cam / f"{frame_id}.jpg")
+                    calib_dict[cam] = {
+                        "cam_to_velo": np.asarray(calib[cam]["cam_to_velo"]),
+                        "cam_intrinsic":
+                            np.asarray(calib[cam]["cam_intrinsic"]),
+                        "distortion": np.asarray(calib[cam]["distortion"]),
+                    }
+                info["calib"] = calib_dict
+                if "annos" in frame:
+                    annos = frame["annos"]
+                    boxes_3d = np.asarray(annos["boxes_3d"], np.float64)
+                    if boxes_3d.shape[0] == 0:
+                        # reference skips annotated frames with no boxes
+                        continue
+                    boxes_2d = {
+                        cam: np.asarray(annos["boxes_2d"][cam])
+                        for cam in cam_names
+                        if cam in annos.get("boxes_2d", {})
+                    }
+                    lidar_fp = Path(info["lidar"])
+                    if lidar_fp.exists():
+                        pts = np.fromfile(str(lidar_fp),
+                                          np.float32).reshape(-1, 4)
+                        npts = points_in_boxes_mask(
+                            pts[:, :3].astype(np.float64),
+                            boxes_3d[:, :7]).sum(axis=1).astype(np.int32)
+                    else:
+                        npts = -np.ones(len(boxes_3d), np.int32)
+                    info["annos"] = {
+                        "name": np.asarray(annos["names"]),
+                        "boxes_3d": boxes_3d.astype(np.float32),
+                        "boxes_2d": boxes_2d,
+                        "num_points_in_gt": npts,
+                    }
+                infos.append(info)
+        fp = save / f"once_infos_{split}.pkl"
+        with open(fp, "wb") as f:
+            pickle.dump(infos, f)
+        emit(f"once infos {split}: {len(infos)} -> {fp}")
+        out[split] = fp
+    return out

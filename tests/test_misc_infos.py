@@ -291,3 +291,104 @@ def test_argo2_info_generation(tmp_path):
     batch = ds.collate_batch([ds[0]])
     assert int(batch["points_mask"].sum()) == 2
     assert int((batch["gt_boxes"][0, :, 7] > 0).sum()) == 1
+
+
+# ---------------------------------------------------------------------------
+# ONCE
+# ---------------------------------------------------------------------------
+
+def make_once_tree(root, seq="000027"):
+    """Raw ONCE layout: ImageSets split lists + per-sequence JSON + lidar
+    bins (once_dataset.py:155-290 input schema)."""
+    (root / "ImageSets").mkdir(parents=True)
+    (root / "ImageSets" / "train.txt").write_text(seq + "\n")
+    seq_dir = root / "data" / seq
+    (seq_dir / "lidar_roof").mkdir(parents=True)
+
+    box = [5.0, 2.0, -0.5, 4.0, 1.8, 1.6, 0.3]
+    rng = np.random.RandomState(0)
+    inside = rng.uniform(-0.45, 0.45, (50, 3)) * np.array(box[3:6])
+    c, s = np.cos(box[6]), np.sin(box[6])
+    inside = np.stack([inside[:, 0] * c - inside[:, 1] * s,
+                       inside[:, 0] * s + inside[:, 1] * c,
+                       inside[:, 2]], -1) + np.array(box[:3])
+    outside = rng.uniform(20, 40, (30, 3))
+    pts = np.concatenate([inside, outside]).astype(np.float32)
+    pts4 = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+
+    frames = []
+    for i, fid in enumerate(["1616100000100", "1616100000200",
+                             "1616100000300"]):
+        pts4.tofile(str(seq_dir / "lidar_roof" / f"{fid}.bin"))
+        frame = {"frame_id": fid,
+                 "pose": [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]}
+        if i == 1:
+            frame["annos"] = {
+                "names": ["Car"],
+                "boxes_3d": [box],
+                "boxes_2d": {"cam01": [[10, 10, 60, 40]]},
+            }
+        elif i == 2:
+            # annotated frame with zero boxes -> must be skipped entirely
+            frame["annos"] = {"names": [], "boxes_3d": [],
+                              "boxes_2d": {"cam01": []}}
+        frames.append(frame)
+    seq_json = {
+        "meta_info": {"weather": "sunny"},
+        "calib": {"cam01": {
+            "cam_to_velo": np.eye(4).tolist(),
+            "cam_intrinsic": [[900.0, 0, 800], [0, 900.0, 450], [0, 0, 1]],
+            "distortion": [0.0] * 7,
+        }},
+        "frames": frames,
+    }
+    with open(seq_dir / f"{seq}.json", "w") as f:
+        json.dump(seq_json, f)
+    return box
+
+
+def test_once_info_generation(tmp_path):
+    from findnpropagate_tpu.datasets.misc_infos import create_once_infos
+
+    box = make_once_tree(tmp_path)
+    out = create_once_infos(tmp_path, splits=("train",))
+    with open(out["train"], "rb") as f:
+        infos = pickle.load(f)
+    # 3 frames, zero-box annotated frame skipped
+    assert len(infos) == 2
+    assert infos[0]["prev_id"] is None
+    assert infos[0]["next_id"] == "1616100000200"
+    assert "annos" not in infos[0]
+    anno = infos[1]["annos"]
+    assert list(anno["name"]) == ["Car"]
+    np.testing.assert_allclose(anno["boxes_3d"][0], box, atol=1e-5)
+    assert anno["num_points_in_gt"][0] == 50
+    assert anno["boxes_2d"]["cam01"].shape == (1, 4)
+    assert infos[1]["calib"]["cam01"]["cam_intrinsic"].shape == (3, 3)
+
+
+def test_once_infos_load_through_dataset(tmp_path):
+    from findnpropagate_tpu.config import EDict
+    from findnpropagate_tpu.datasets.misc_infos import create_once_infos
+    from findnpropagate_tpu.datasets.once import ONCEDataset
+
+    make_once_tree(tmp_path)
+    create_once_infos(tmp_path, splits=("train",))
+    cfg = EDict({
+        "DATA_PATH": str(tmp_path),
+        "INFO_PATH": {"train": ["once_infos_train.pkl"]},
+        "POINT_FEATURE_ENCODING": {
+            "encoding_type": "absolute_coordinates_encoding",
+            "used_feature_list": ["x", "y", "z", "intensity"],
+            "src_feature_list": ["x", "y", "z", "intensity"],
+        },
+        "POINT_CLOUD_RANGE": [-75.2, -75.2, -5.0, 75.2, 75.2, 3.0],
+        "DATA_PROCESSOR": [],
+        "DATA_AUGMENTOR": {"DISABLE_AUG_LIST": ["placeholder"],
+                           "AUG_CONFIG_LIST": []},
+    })
+    ds = ONCEDataset(cfg, class_names=["Car"], training=True,
+                     root_path=str(tmp_path))
+    assert len(ds) == 1  # only the annotated frame survives training filter
+    item = ds[0]
+    assert item["gt_boxes"].shape[0] >= 1

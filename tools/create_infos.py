@@ -27,7 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dataset", choices=["kitti", "nuscenes", "lyft",
-                                        "pandaset", "argo2"])
+                                        "pandaset", "argo2", "once"])
     ap.add_argument("--data_path", required=True)
     ap.add_argument("--save_path", default=None)
     ap.add_argument("--version", default="v1.0-trainval")
@@ -70,6 +70,10 @@ def main():
         )
 
         create_pandaset_infos(args.data_path, args.save_path)
+    elif args.dataset == "once":
+        from findnpropagate_tpu.datasets.misc_infos import create_once_infos
+
+        create_once_infos(args.data_path, args.save_path)
     else:
         from findnpropagate_tpu.datasets.misc_infos import create_argo2_infos
 
