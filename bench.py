@@ -72,20 +72,24 @@ def build_transfusion_bench(batch_size: int = 1, training: bool = False):
     cfg = cfg_from_yaml_file("tools/cfgs/nuscenes_models/transfusion_lidar.yaml")
     import os
 
-    # perf-experiment overrides, e.g. BENCH_SET="MODEL.BACKBONE_3D.TAP_WINDOW=1280,MODEL.BACKBONE_3D.WINDOWED_BLOCK=512"
-    for kv in filter(None, os.environ.get("BENCH_SET", "").split(",")):
+    # perf-experiment overrides, e.g.
+    #   BENCH_SET="MODEL.BACKBONE_3D.TAP_WINDOW=1280,MODEL.BACKBONE_3D.WINDOWED_BLOCK=512"
+    # semicolons separate pairs when values contain commas (per-level lists):
+    #   BENCH_SET="MODEL.BACKBONE_3D.TAP_WINDOW=[768,1536,1536];..."
+    bench_set = os.environ.get("BENCH_SET", "")
+    sep = ";" if ";" in bench_set or "[" in bench_set else ","
+    for kv in filter(None, bench_set.split(sep)):
         key, val = kv.split("=")
         node = cfg
         parts = key.split(".")
         for part in parts[:-1]:
             node = node[part]
         try:
-            val = int(val)
-        except ValueError:
-            try:
-                val = float(val)
-            except ValueError:
-                pass
+            import ast
+
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
         node[parts[-1]] = val
         print(f"BENCH_SET: {key} = {val}")
     data_cfg = EDict({

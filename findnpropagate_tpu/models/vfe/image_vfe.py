@@ -26,18 +26,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bin_depths(depth, mode, depth_min, depth_max, num_bins):
-    """Continuous depth -> fractional bin index (transform_utils.py:56-92)."""
+def bin_depths(depth, mode, depth_min, depth_max, num_bins,
+               with_valid=False):
+    """Continuous depth -> fractional bin index (transform_utils.py:56-92).
+
+    with_valid: also return the domain mask. The reference's torch code
+    produces NaN for depths outside the discretization's domain (sqrt/log
+    of a negative) which grid_sample then silently zero-pads; under jax
+    a NaN index would poison GRADIENTS through the untaken branch of the
+    sampler's `where`, so the domain is clamped here and callers mask with
+    `valid` instead."""
     if mode == "UD":
         bin_size = (depth_max - depth_min) / num_bins
-        return (depth - depth_min) / bin_size
-    if mode == "LID":
+        idx = (depth - depth_min) / bin_size
+        valid = jnp.ones_like(depth, bool)
+    elif mode == "LID":
         bin_size = 2 * (depth_max - depth_min) / (num_bins * (1 + num_bins))
-        return -0.5 + 0.5 * jnp.sqrt(1 + 8 * (depth - depth_min) / bin_size)
-    if mode == "SID":
-        return num_bins * (jnp.log(1 + depth) - np.log(1 + depth_min)) / (
-            np.log(1 + depth_max) - np.log(1 + depth_min))
-    raise NotImplementedError(mode)
+        arg = 1 + 8 * (depth - depth_min) / bin_size
+        valid = arg > 0
+        idx = -0.5 + 0.5 * jnp.sqrt(jnp.maximum(arg, 1e-6))
+    elif mode == "SID":
+        valid = depth > -1
+        idx = num_bins * (
+            jnp.log1p(jnp.maximum(depth, -1 + 1e-6)) - np.log(1 + depth_min)
+        ) / (np.log(1 + depth_max) - np.log(1 + depth_min))
+    else:
+        raise NotImplementedError(mode)
+    return (idx, valid) if with_valid else idx
 
 
 class ImageVFE(nn.Module):
@@ -105,8 +120,9 @@ class ImageVFE(nn.Module):
             v = proj[:, 1] / jnp.clip(depth, 1e-5)
             uf = u / stride - 0.5
             vf = v / stride - 0.5
-            df = bin_depths(depth, mode, d_min, d_max, num_bins)
-            ok = ((depth > 0) & (uf > -1) & (uf < w_f) & (vf > -1)
+            df, dok = bin_depths(depth, mode, d_min, d_max, num_bins,
+                                 with_valid=True)
+            ok = (dok & (depth > 0) & (uf > -1) & (uf < w_f) & (vf > -1)
                   & (vf < h_f) & (df > -1) & (df < num_bins))
 
             def lerp_axis(f):
@@ -167,9 +183,11 @@ def ddn_loss(out_batch, model_cfg):
         u = (proj[:, 0] / jnp.clip(depth, 1e-5) / stride).astype(jnp.int32)
         v = (proj[:, 1] / jnp.clip(depth, 1e-5) / stride).astype(jnp.int32)
         ok = m & (depth > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-        idx = bin_depths(depth, mode, d_min, d_max, num_bins)
+        idx, iok = bin_depths(depth, mode, d_min, d_max, num_bins,
+                              with_valid=True)
         tgt_bin = jnp.clip(jnp.floor(idx), 0, num_bins).astype(jnp.int32)
-        tgt_bin = jnp.where((idx < 0) | (idx > num_bins), num_bins, tgt_bin)
+        tgt_bin = jnp.where(~iok | (idx < 0) | (idx > num_bins), num_bins,
+                            tgt_bin)
         flat = jnp.where(ok, v * w + u, h * w)
         # nearest (min-depth) return wins per pixel
         depth_map = jnp.full((h * w + 1,), jnp.inf).at[flat].min(
@@ -185,6 +203,8 @@ def ddn_loss(out_batch, model_cfg):
     onehot = jax.nn.one_hot(tgt, num_bins + 1)
     ce = -jnp.sum(onehot * logp, axis=-1)
     pt = jnp.sum(onehot * p, axis=-1)
-    focal = ((1 - pt) ** gamma) * ce
+    # max(0): 1 - pt can round slightly negative, and a negative base with
+    # a float exponent is NaN
+    focal = (jnp.maximum(1 - pt, 0.0) ** gamma) * ce
     loss = jnp.sum(focal * has) / jnp.clip(jnp.sum(has), 1.0) * w_depth
     return loss, {"depth_loss": loss}
