@@ -218,6 +218,16 @@ def bench_latency(chain_len: int = 8, iters: int = 6):
     det, variables, batch = build_transfusion_bench(1)
     batch = jax.device_put(batch)
 
+    # exactness audit: the windowed-conv overflow counter must be zero or
+    # the measured program silently dropped neighbors (wrong activations)
+    ovf = int(jax.jit(
+        lambda v, b: det.apply(v, dict(b), train=False).get(
+            "sparse_window_overflow", -1)
+    )(variables, batch))
+    if ovf > 0:
+        print(json.dumps({"warning": "sparse_window_overflow",
+                          "value": ovf, "mode": "latency"}))
+
     @jax.jit
     def chain(variables, batch, seed):
         s = seed

@@ -199,12 +199,13 @@ class _SparseStack(nn.Module):
 
     def _win_conv(self, src_ids, src_feats, tgt_ids, w, deltas, block,
                   window, prec, sent, train, scale=None, shift=None,
-                  relu=False, tap_window=None):
+                  relu=False, tap_window=None, sub_block=None):
         """Dispatch one windowed conv when SUBM_IMPL == 'pallas': the fused
         Pallas kernel on the inference path, and the differentiable wrapper
         (Pallas fwd + transposed-Pallas d_feats + XLA windowed dW) when
         training — XLA windowed_conv otherwise. scale/shift/relu: fused
-        bias+BN(+relu) epilogue, pallas-eval only."""
+        bias+BN(+relu) epilogue, pallas-eval only. sub_block: banded
+        per-(tap, target-sub-span) source slices, pallas-eval only."""
         impl = str(self.model_cfg.get("SUBM_IMPL", "xla")).lower()
         if impl == "pallas":
             cd = jnp.float32 if prec is not None else jnp.bfloat16
@@ -216,7 +217,8 @@ class _SparseStack(nn.Module):
                     src_ids, src_feats, tgt_ids, w, deltas, block=block,
                     window=window, sentinel_start=sent, compute_dtype=cd,
                     scale=scale, shift=shift, relu=relu,
-                    tap_window=tap_window, interpret=interp)
+                    tap_window=tap_window, sub_block=sub_block,
+                    interpret=interp)
             from ...ops.pallas_sparse import windowed_conv_pallas_diff
 
             return windowed_conv_pallas_diff(
@@ -340,6 +342,8 @@ class _SparseStack(nn.Module):
                 self.model_cfg.get("TAP_WINDOW", None), lvl_i)
             deltas = jnp.asarray(yxz_offset_deltas(kernel, shape))
             sent = yxz_sentinel_start(shape)
+            sub = self._per_level(
+                self.model_cfg.get("SUB_BLOCK", None), lvl_i)
             if self._fuse_epilogue(train):
                 # bias + BN + relu + padding-mask all inside the kernel
                 bscale, bshift = bnmod.affine()
@@ -349,7 +353,7 @@ class _SparseStack(nn.Module):
                     lambda i, f: self._win_conv(
                         i, f, i, w, deltas, block, window, prec, sent,
                         train, scale=bscale, shift=bshift, relu=relu,
-                        tap_window=tap,
+                        tap_window=tap, sub_block=sub,
                     )
                 )(ids, feats)
                 ovf_acc.append(jnp.sum(ovf))
@@ -357,7 +361,7 @@ class _SparseStack(nn.Module):
             out, ovf = jax.vmap(
                 lambda i, f: self._win_conv(
                     i, f, i, w, deltas, block, window, prec, sent, train,
-                    tap_window=tap,
+                    tap_window=tap, sub_block=sub if not train else None,
                 )
             )(ids, feats)
             ovf_acc.append(jnp.sum(ovf))
@@ -422,6 +426,8 @@ class _SparseStack(nn.Module):
             sent = strided_sentinel_start(in_shape)
             stap = self._per_level(
                 self.model_cfg.get("STRIDED_TAP_WINDOW", None), lvl_i)
+            ssub = self._per_level(
+                self.model_cfg.get("STRIDED_SUB_BLOCK", None), lvl_i)
             if self._fuse_epilogue(train):
                 bscale, bshift = bnmod.affine()
                 if b is not None:
@@ -430,7 +436,7 @@ class _SparseStack(nn.Module):
                     lambda si, sf, ti: self._win_conv(
                         si, sf, ti, w, deltas, block, swindow, prec, sent,
                         train, scale=bscale, shift=bshift, relu=True,
-                        tap_window=stap,
+                        tap_window=stap, sub_block=ssub,
                     )
                 )(ids, feats, base)
                 ovf_acc.append(jnp.sum(ovf))
@@ -439,7 +445,7 @@ class _SparseStack(nn.Module):
             out, ovf = jax.vmap(
                 lambda si, sf, ti: self._win_conv(
                     si, sf, ti, w, deltas, block, swindow, prec, sent, train,
-                    tap_window=stap,
+                    tap_window=stap, sub_block=ssub if not train else None,
                 )
             )(ids, feats, base)
             ovf_acc.append(jnp.sum(ovf))

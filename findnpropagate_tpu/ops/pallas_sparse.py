@@ -38,12 +38,14 @@ ALIGN = 512
 
 def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
                   deltas_ref, w_ref, *rest, precision=None, epilogue=False,
-                  relu=False, sentinel=None, tap_window=None):
+                  relu=False, sentinel=None, tap_window=None,
+                  sub_block=None):
     """Grid: (NB,). One target block per step.
 
     lo_ref: (NB,) SMEM window starts (scalar-prefetched, 512-aligned)
     tap_lo_ref: (NB, K) SMEM per-tap sub-window starts RELATIVE to lo
-    (128-aligned; all zeros when tap_window is None)
+    (128-aligned; all zeros when tap_window is None); with `sub_block`
+    set the layout is (NB, K*NSUB) — one start per (tap, target sub-span)
     tgt_hbm: (1, Vt) int32 ANY target ids (block i sliced by DMA)
     ids_hbm: (1, V) int32 ANY; feats_hbm: (C, V) ANY
     deltas_ref: (K, 1) SMEM; w_ref: (Cout, K*C) VMEM
@@ -57,6 +59,13 @@ def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
     the UNION window must cover the full d_min..d_max spread — so the
     one-hot compare volume and the gather matmul FLOPs shrink by S/S_sub
     when each tap reads just its own slice of the resident window.
+
+    Banded sub-spans (`sub_block` = W_sub < W_BLK, with tap_window the
+    per-(tap, sub-span) source width): the tap span scales with the
+    TARGET width it serves, so splitting the block into NSUB target
+    sub-spans with their own (narrower) source slices shrinks the compare
+    volume and matmul MACs by ~W_BLK/W_sub again — the alignment between
+    two sorted id lists is locally banded.
 
     Epilogue (fused bias+BN+ReLU for the eval path): out = out*scale +
     shift, optional relu, and rows whose target id >= `sentinel` (padding /
@@ -93,6 +102,20 @@ def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
     tgt = tgt_buf[0, :]                   # (W,)
 
     def tap(kk, _):
+        if sub_block is not None:
+            nsub = w_blk // sub_block
+            for j in range(nsub):
+                off = pl.multiple_of(tap_lo_ref[i, kk * nsub + j], 128)
+                wi = win_ids[0, pl.ds(off, tap_window)]
+                wf = win_feats[:, pl.ds(off, tap_window)]
+                want = (tgt_buf[0, pl.ds(j * sub_block, sub_block)]
+                        + deltas_ref[kk, 0])
+                onehot = (wi[:, None] == want[None, :]).astype(wf.dtype)
+                g = jnp.dot(wf, onehot, preferred_element_type=jnp.float32,
+                            precision=precision)  # (C, W_sub)
+                gbuf[pl.ds(pl.multiple_of(kk * c, 8), c),
+                     pl.ds(j * sub_block, sub_block)] = g.astype(gbuf.dtype)
+            return 0
         want = tgt + deltas_ref[kk, 0]    # (W,)
         if tap_window is None:
             wi = win_ids[0, :]            # (S,)
@@ -122,10 +145,11 @@ def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "window", "interpret", "relu", "sentinel", "tap_window"))
+    "block", "window", "interpret", "relu", "sentinel", "tap_window",
+    "sub_block"))
 def _fused_call(ids2, feats_t, tgt2, lo, tap_lo, deltas, w_flat, block,
                 window, scale=None, shift=None, relu=False, sentinel=None,
-                tap_window=None, interpret=False):
+                tap_window=None, sub_block=None, interpret=False):
     """ids2 (1, V), feats_t (C, V), tgt2 (NB, block), lo (NB,),
     tap_lo (NB, K) per-tap relative sub-window starts, deltas (K,),
     w_flat (Cout, K*C) -> out (Vt, Cout) f32. With scale/shift (Cout,) the
@@ -180,7 +204,7 @@ def _fused_call(ids2, feats_t, tgt2, lo, tap_lo, deltas, w_flat, block,
     out_t = pl.pallas_call(
         functools.partial(_fused_kernel, precision=prec, epilogue=epilogue,
                           relu=relu, sentinel=sentinel,
-                          tap_window=tap_window),
+                          tap_window=tap_window, sub_block=sub_block),
         out_shape=jax.ShapeDtypeStruct((cout, vt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -484,7 +508,7 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
                          block: int = 512, window: int = 1536,
                          sentinel_start=None, compute_dtype=jnp.bfloat16,
                          scale=None, shift=None, relu=False,
-                         tap_window=None, interpret=False):
+                         tap_window=None, sub_block=None, interpret=False):
     """Drop-in fused variant of sparse_ops.windowed_conv (same contract,
     same (out, overflow) return). One UNION window per target block covers
     all taps; window starts/sizes are 512-aligned for the DMA engine.
@@ -541,25 +565,59 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
     hi = jnp.searchsorted(src_ids, block_last + d_max, side="right")
     overflow = jnp.sum(((hi - lo) > window) & has_real)
 
-    # per-(block, tap) sub-window starts, 128-aligned and relative to lo
+    # per-(block, tap) sub-window starts, 128-aligned and relative to lo;
+    # with sub_block the granularity is (block, tap, target sub-span)
     k_taps = deltas.shape[0]
+    sub_eff = None
     if tap_window is not None and tap_window < window:
         assert tap_window % 128 == 0, "tap_window must be a 128-multiple"
-        lo_tap_g = jnp.searchsorted(
-            src_ids,
-            (block_first[:, None] + deltas[None, :]).reshape(-1)
-        ).reshape(nb, k_taps)
-        rel = jnp.clip(((lo_tap_g - lo[:, None]) // 128) * 128,
-                       0, window - tap_window).astype(jnp.int32)
-        hi_tap = jnp.searchsorted(
-            src_ids,
-            (block_last[:, None] + deltas[None, :]).reshape(-1),
-            side="right").reshape(nb, k_taps)
-        overflow = overflow + jnp.sum(
-            ((hi_tap - (lo[:, None] + rel)) > tap_window)
-            & has_real[:, None])
-        tap_lo = rel
-        tap_window_eff = tap_window
+        if sub_block is not None and sub_block < block:
+            assert block % sub_block == 0 and sub_block % 128 == 0, \
+                "sub_block must be a 128-multiple dividing block"
+            nsub = block // sub_block
+            tgt_sub = tgt_ids.reshape(nb, nsub, sub_block)
+            first_sub = tgt_sub[:, :, 0]
+            if sentinel_start is not None:
+                real_s = tgt_sub < sentinel_start
+                last_sub = jnp.max(
+                    jnp.where(real_s, tgt_sub, jnp.iinfo(jnp.int32).min),
+                    axis=2)
+                has_real_s = jnp.any(real_s, axis=2)
+            else:
+                last_sub = tgt_sub[:, :, -1]
+                has_real_s = jnp.ones((nb, nsub), bool)
+            lo_tap_g = jnp.searchsorted(
+                src_ids,
+                (first_sub[:, None, :] + deltas[None, :, None]).reshape(-1)
+            ).reshape(nb, k_taps, nsub)
+            rel = jnp.clip(((lo_tap_g - lo[:, None, None]) // 128) * 128,
+                           0, window - tap_window).astype(jnp.int32)
+            hi_tap = jnp.searchsorted(
+                src_ids,
+                (last_sub[:, None, :] + deltas[None, :, None]).reshape(-1),
+                side="right").reshape(nb, k_taps, nsub)
+            overflow = overflow + jnp.sum(
+                ((hi_tap - (lo[:, None, None] + rel)) > tap_window)
+                & has_real_s[:, None, :])
+            tap_lo = rel.reshape(nb, k_taps * nsub)
+            tap_window_eff = tap_window
+            sub_eff = sub_block
+        else:
+            lo_tap_g = jnp.searchsorted(
+                src_ids,
+                (block_first[:, None] + deltas[None, :]).reshape(-1)
+            ).reshape(nb, k_taps)
+            rel = jnp.clip(((lo_tap_g - lo[:, None]) // 128) * 128,
+                           0, window - tap_window).astype(jnp.int32)
+            hi_tap = jnp.searchsorted(
+                src_ids,
+                (block_last[:, None] + deltas[None, :]).reshape(-1),
+                side="right").reshape(nb, k_taps)
+            overflow = overflow + jnp.sum(
+                ((hi_tap - (lo[:, None] + rel)) > tap_window)
+                & has_real[:, None])
+            tap_lo = rel
+            tap_window_eff = tap_window
     else:
         tap_lo = jnp.zeros((nb, k_taps), jnp.int32)
         tap_window_eff = None
@@ -596,6 +654,6 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
                       scale=scale, shift=shift, relu=relu,
                       sentinel=int(sentinel_start)
                       if scale is not None else None,
-                      tap_window=tap_window_eff,
+                      tap_window=tap_window_eff, sub_block=sub_eff,
                       interpret=interpret)
     return out[:, :cout].astype(src_feats.dtype), overflow
