@@ -79,36 +79,52 @@ def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
         (out_ref, win_ids, win_feats, tgt_buf, gbuf,
          sem_i, sem_f, sem_t) = rest
     i = pl.program_id(0)
-    lo = pl.multiple_of(lo_ref[i], ALIGN)
-    s = win_ids.shape[1]
+    nb = pl.num_programs(0)
+    s = win_ids.shape[2]
     k = deltas_ref.shape[0]
-    c = win_feats.shape[0]
-    w_blk = tgt_buf.shape[1]
-    t0 = pl.multiple_of(i * w_blk, ALIGN)  # block % 512 == 0 (asserted)
+    c = win_feats.shape[1]
+    w_blk = tgt_buf.shape[2]
+    slot = jax.lax.rem(i, 2)
 
-    cp_i = pltpu.make_async_copy(
-        ids_hbm.at[:, pl.ds(lo, s)], win_ids, sem_i)
-    cp_f = pltpu.make_async_copy(
-        feats_hbm.at[:, pl.ds(lo, s)], win_feats, sem_f)
-    cp_t = pltpu.make_async_copy(
-        tgt_hbm.at[:, pl.ds(t0, w_blk)], tgt_buf, sem_t)
-    cp_i.start()
-    cp_f.start()
-    cp_t.start()
-    cp_i.wait()
-    cp_f.wait()
-    cp_t.wait()
+    # double-buffered manual pipeline: the window DMA for block i+1 is in
+    # flight while block i computes (scratch leading dim = slot)
+    def copies(j, sl):
+        lo_j = pl.multiple_of(lo_ref[j], ALIGN)
+        t0_j = pl.multiple_of(j * w_blk, ALIGN)  # block % 512 (asserted)
+        return (
+            pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(lo_j, s)], win_ids.at[sl], sem_i.at[sl]),
+            pltpu.make_async_copy(
+                feats_hbm.at[:, pl.ds(lo_j, s)], win_feats.at[sl],
+                sem_f.at[sl]),
+            pltpu.make_async_copy(
+                tgt_hbm.at[:, pl.ds(t0_j, w_blk)], tgt_buf.at[sl],
+                sem_t.at[sl]),
+        )
 
-    tgt = tgt_buf[0, :]                   # (W,)
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        for cp in copies(i + 1, 1 - slot):
+            cp.start()
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    tgt = tgt_buf[slot, 0, :]             # (W,)
 
     def tap(kk, _):
         if sub_block is not None:
             nsub = w_blk // sub_block
             for j in range(nsub):
                 off = pl.multiple_of(tap_lo_ref[i, kk * nsub + j], 128)
-                wi = win_ids[0, pl.ds(off, tap_window)]
-                wf = win_feats[:, pl.ds(off, tap_window)]
-                want = (tgt_buf[0, pl.ds(j * sub_block, sub_block)]
+                wi = win_ids[slot, 0, pl.ds(off, tap_window)]
+                wf = win_feats[slot, :, pl.ds(off, tap_window)]
+                want = (tgt_buf[slot, 0, pl.ds(j * sub_block, sub_block)]
                         + deltas_ref[kk, 0])
                 onehot = (wi[:, None] == want[None, :]).astype(wf.dtype)
                 g = jnp.dot(wf, onehot, preferred_element_type=jnp.float32,
@@ -118,12 +134,12 @@ def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
             return 0
         want = tgt + deltas_ref[kk, 0]    # (W,)
         if tap_window is None:
-            wi = win_ids[0, :]            # (S,)
-            wf = win_feats[:]             # (C, S)
+            wi = win_ids[slot, 0, :]      # (S,)
+            wf = win_feats[slot]          # (C, S)
         else:
             off = pl.multiple_of(tap_lo_ref[i, kk], 128)
-            wi = win_ids[0, pl.ds(off, tap_window)]
-            wf = win_feats[:, pl.ds(off, tap_window)]
+            wi = win_ids[slot, 0, pl.ds(off, tap_window)]
+            wf = win_feats[slot, :, pl.ds(off, tap_window)]
         onehot = (wi[:, None] == want[None, :]).astype(wf.dtype)  # (S', W)
         g = jnp.dot(wf, onehot, preferred_element_type=jnp.float32,
                     precision=precision)  # (C, W)
@@ -189,13 +205,13 @@ def _fused_call(ids2, feats_t, tgt2, lo, tap_lo, deltas, w_flat, block,
         out_specs=pl.BlockSpec((cout, block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, window), jnp.int32),
-            pltpu.VMEM((c, window), compute_dtype),
-            pltpu.VMEM((1, block), jnp.int32),
+            pltpu.VMEM((2, 1, window), jnp.int32),
+            pltpu.VMEM((2, c, window), compute_dtype),
+            pltpu.VMEM((2, 1, block), jnp.int32),
             pltpu.VMEM((k * c, block), compute_dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     # bf16 inputs are single-pass exact on the MXU; f32 inputs need the
