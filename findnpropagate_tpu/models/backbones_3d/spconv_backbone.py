@@ -44,6 +44,7 @@ from ...ops.sparse_ops import (
     strided_sentinel_start,
     subm_conv,
     win_downsample,
+    win_downsample_dense,
     win_downsample_scatter,
     windowed_conv,
     yxz_linear_ids,
@@ -400,16 +401,20 @@ class _SparseStack(nn.Module):
             # downsample impl is regime-dependent: the 8V-entry bitonic
             # sort is serial-depth-bound and dominates batch-1 latency
             # (92 ms at L0) but lane-parallelizes perfectly across a big
-            # batch; the scatter+rank-select build is O(V) but
-            # scatter-row-rate-bound, so it wins at batch<=2 and loses
-            # badly at batch 32 (PERF.md round-3). "auto" picks by the
-            # traced batch size.
+            # batch; the scatter+rank-select build is O(V) but its 8V
+            # colliding scatter-max is row-rate bound (49 ms at L0,
+            # PERF.md round-3); the dense occupancy + max-pool build
+            # scatters only the V UNIQUE actives and pools on the VPU,
+            # at the cost of a dense (ny, nx, nz) int8 grid per sample —
+            # fastest at small batch, memory-prohibitive at batch 32.
+            # "auto" picks by the traced batch size.
             ds_impl = str(self.model_cfg.get("DOWNSAMPLE_IMPL",
                                              "auto")).lower()
             if ds_impl == "auto":
-                ds_impl = "scatter" if coords.shape[0] <= 2 else "sort"
-            ds_fn = win_downsample_scatter if ds_impl == "scatter" \
-                else win_downsample
+                ds_impl = "dense" if coords.shape[0] <= 2 else "sort"
+            ds_fn = {"dense": win_downsample_dense,
+                     "scatter": win_downsample_scatter,
+                     "sort": win_downsample}[ds_impl]
             oi, oc, ov = jax.vmap(
                 lambda c, v: ds_fn(
                     c, v, in_shape, out_shape, cap, kernel_size=kernel,

@@ -504,6 +504,96 @@ def win_downsample(coords, valid, in_shape, out_shape, max_out: int,
     return out_ids.astype(jnp.int32), out_coords, out_valid
 
 
+def _mask_rank_select(mask, max_out: int, sel_block: int):
+    """First `max_out` set positions of a flat 0/1 int8 mask, ascending.
+
+    Blockwise popcounts + one small cumsum locate each output slot's
+    containing block via searchsorted; the in-block position is a prefix-
+    sum rank — dense VPU math on (max_out, sel_block). mask length must be
+    a sel_block multiple. Returns (positions (max_out,) int32 — garbage at
+    invalid slots, mask with out_valid —, out_valid (max_out,) bool)."""
+    nblk = mask.shape[0] // sel_block
+    mask_r = mask.reshape(nblk, sel_block)
+    counts = jnp.sum(mask_r.astype(jnp.int32), axis=1)          # (nblk,)
+    csum_inc = jnp.cumsum(counts)                               # inclusive
+    total = csum_inc[-1]
+
+    p_slot = jnp.arange(max_out, dtype=jnp.int32)
+    blk = jnp.searchsorted(csum_inc, p_slot, side="right")
+    blk = jnp.minimum(blk, nblk - 1).astype(jnp.int32)
+    csum_exc = csum_inc - counts
+    within = p_slot - csum_exc[blk]                             # rank in blk
+    rows = mask_r[blk].astype(jnp.int32)                        # (MO, SB)
+    prefix = jnp.cumsum(rows, axis=1)                           # 1-indexed
+    pos = jnp.sum((prefix <= within[:, None]).astype(jnp.int32), axis=1)
+    out_pos = blk * sel_block + pos
+    out_valid = p_slot < jnp.minimum(total, max_out)
+    return out_pos.astype(jnp.int32), out_valid
+
+
+def win_downsample_dense(coords, valid, in_shape, out_shape,
+                         max_out: int, kernel_size=(3, 3, 3),
+                         stride=(2, 2, 2), padding=(1, 1, 1),
+                         sel_block: int = 512):
+    """Dense-occupancy win_downsample (same contract): the scatter variant's
+    8V-candidate scatter-max is the single most expensive op at batch 1
+    (49 ms of the 52 ms L0->L1 stage on v5e — TPU scatter with colliding
+    indices is row-rate bound). Here only the V UNIQUE actives are
+    scattered (fast unique-indices path), the spconv receptive-field rule
+    becomes ONE max-pool over the dense occupancy (out cell active iff any
+    input active in its kernel footprint — reduce_window, pure VPU), and
+    the active list is recovered with the same blockwise rank-select. The
+    dense (ny, nx, nz) int8 occupancy is the memory cost — fine at small
+    batch, so DOWNSAMPLE_IMPL='auto' picks this at batch <= 2."""
+    nz_i, ny_i, nx_i = (int(s) for s in in_shape)
+    nz_o, ny_o, nx_o = (int(s) for s in out_shape)
+    kz, ky, kx = kernel_size
+    sz, sy, sx = stride
+    pz, py, px = padding
+
+    # (y, x, z) layout so ascending flat index == ascending yxz id.
+    # Invalid slots are routed to a positive out-of-bounds index and
+    # dropped (negative -1 coords would WRAP under jnp .at semantics);
+    # the applied indices are the unique active cells -> the scatter
+    # takes XLA's fast unique-indices path (no collision handling).
+    iy = jnp.where(valid, coords[:, 1], ny_i)
+    ix = jnp.where(valid, coords[:, 2], nx_i)
+    iz = jnp.where(valid, coords[:, 0], nz_i)
+    occ = jnp.zeros((ny_i, nx_i, nz_i), jnp.int8)
+    occ = occ.at[iy, ix, iz].max(
+        jnp.int8(1), mode="drop", unique_indices=True)
+
+    pooled = jax.lax.reduce_window(
+        occ, jnp.int8(0), jax.lax.max,
+        window_dimensions=(ky, kx, kz), window_strides=(sy, sx, sz),
+        padding=((py, py), (px, px), (pz, pz)),
+    )
+    assert pooled.shape == (ny_o, nx_o, nz_o), (pooled.shape, out_shape)
+
+    flat = pooled.reshape(-1)
+    pad = (-flat.shape[0]) % sel_block
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int8)])
+    out_pos, out_valid = _mask_rank_select(flat, max_out, sel_block)
+
+    # flat (y, x, z) position -> coords -> guard-banded yxz id (monotone
+    # in the flat order, so the output stays ascending)
+    oy = out_pos // (nx_o * nz_o)
+    rem = out_pos % (nx_o * nz_o)
+    oxc = rem // nz_o
+    ozc = rem % nz_o
+    stride_x, stride_y = _yxz_strides(out_shape)
+    sentinel = (ny_o + 1) * stride_y + stride_x + 2
+    out_ids = oy * stride_y + (oxc + 1) * stride_x + (ozc + 1)
+    out_coords = jnp.where(
+        out_valid[:, None],
+        jnp.stack([ozc, oy, oxc], axis=1), -1
+    ).astype(jnp.int32)
+    p_slot = jnp.arange(max_out, dtype=jnp.int32)
+    out_ids = jnp.where(out_valid, out_ids, sentinel + p_slot)
+    return out_ids.astype(jnp.int32), out_coords, out_valid
+
+
 def win_downsample_scatter(coords, valid, in_shape, out_shape,
                            max_out: int, kernel_size=(3, 3, 3),
                            stride=(2, 2, 2), padding=(1, 1, 1),
@@ -557,23 +647,8 @@ def win_downsample_scatter(coords, valid, in_shape, out_shape,
     live = jnp.arange(msize, dtype=jnp.int32) < sentinel
     mask = jnp.where(live, mask, jnp.int8(0))
 
-    mask_r = mask.reshape(nblk, sel_block)
-    counts = jnp.sum(mask_r.astype(jnp.int32), axis=1)          # (nblk,)
-    csum_inc = jnp.cumsum(counts)                               # inclusive
-    total = csum_inc[-1]
-
+    out_ids, out_valid = _mask_rank_select(mask, max_out, sel_block)
     p_slot = jnp.arange(max_out, dtype=jnp.int32)
-    blk = jnp.searchsorted(csum_inc, p_slot, side="right")
-    blk = jnp.minimum(blk, nblk - 1)
-    csum_exc = csum_inc - counts
-    within = p_slot - csum_exc[blk]                             # rank in blk
-    rows = mask_r[blk].astype(jnp.int32)                        # (MO, SB)
-    prefix = jnp.cumsum(rows, axis=1)                           # 1-indexed
-    pos = jnp.sum((prefix <= within[:, None]).astype(jnp.int32), axis=1)
-    out_ids = blk * sel_block + pos
-
-    num_out = jnp.minimum(total, max_out)
-    out_valid = p_slot < num_out
 
     oy = out_ids // stride_y
     rem = out_ids % stride_y

@@ -356,3 +356,38 @@ def test_win_downsample_scatter_matches_sort():
         v = np.asarray(rv)
         np.testing.assert_array_equal(gi[v], ri[v])
         assert np.all(np.diff(gi) > 0), "scatter ids must stay ascending"
+
+
+def test_win_downsample_dense_matches_sort():
+    """The dense occupancy + max-pool downsample must reproduce
+    win_downsample EXACTLY (ids, coords, valid, ascending output) across
+    the backbone's kernel/stride/padding variants."""
+    from findnpropagate_tpu.ops.sparse_ops import (
+        win_downsample, win_downsample_dense,
+    )
+
+    rng = np.random.RandomState(12)
+    cases = [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), 96),
+        ((3, 3, 3), (2, 2, 2), (0, 1, 1), 96),
+        ((3, 1, 1), (2, 1, 1), (0, 0, 0), 128),
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), 16),   # max_out overflow
+    ]
+    for kernel, stride, padding, max_out in cases:
+        out_shape = tuple(
+            (n + 2 * p - k) // s + 1
+            for n, k, s, p in zip(SHAPE, kernel, stride, padding))
+        coords, valid, _ = random_sparse(rng, 70, 96, 1)
+        args = (jnp.asarray(coords), jnp.asarray(valid), SHAPE, out_shape,
+                max_out)
+        kw = dict(kernel_size=kernel, stride=stride, padding=padding)
+        ri, rc, rv = win_downsample(*args, **kw)
+        gi, gc, gv = win_downsample_dense(*args, **kw, sel_block=64)
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv),
+                                      err_msg=str((kernel, stride, padding)))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+        gi, ri = np.asarray(gi), np.asarray(ri)
+        v = np.asarray(rv)
+        np.testing.assert_array_equal(gi[v], ri[v],
+                                      err_msg=str((kernel, stride, padding)))
+        assert np.all(np.diff(gi) > 0), "dense ids must stay ascending"
