@@ -93,36 +93,49 @@ def voxelize(
     num_voxels_total = jnp.max(jnp.where(is_valid_sorted, voxel_slot_sorted + 1, 0), initial=0)
     num_voxels = jnp.minimum(num_voxels_total, v_cap).astype(jnp.int32)
 
-    # Rank of each point within its voxel.
-    pos = jnp.arange(p, dtype=jnp.int32)
-    seg_start_pos = jnp.where(newseg, pos, 0)
-    seg_start_cummax = jax.lax.associative_scan(jnp.maximum, seg_start_pos)
-    rank = pos - seg_start_cummax
+    # Bucket build is GATHER-based: TPU row gathers run ~4-5x faster than
+    # row scatters (measured v5e: 300k-row 5ch scatter 13.5 ms vs 1.2M-row
+    # gather 5.7 ms; PERF.md round-3). Each voxel's first T sorted points
+    # sit contiguously at [start, start+count), so the (V, T, C) buckets
+    # are one gather from pts_sorted; only SCALAR scatters remain (cheap).
+    from .sparse_ops import _mask_rank_select
 
-    keep = is_valid_sorted & (voxel_slot_sorted < v_cap)
-    slot_clamped = jnp.where(keep, voxel_slot_sorted, v_cap)
-    rank_clamped = jnp.where(keep & (rank < t_cap), rank, t_cap)
+    pad = (-p) % 512
+    seg_mask = newseg.astype(jnp.int8)
+    if pad:
+        seg_mask = jnp.concatenate([seg_mask, jnp.zeros((pad,), jnp.int8)])
+    # v_cap + 1 starts: when segments overflow the capacity, kept voxel
+    # v_cap - 1 must END at the first CUT segment's start, not swallow
+    # every remaining point
+    starts_p1, valid_p1 = _mask_rank_select(seg_mask, v_cap + 1, 512)
+    starts, start_valid = starts_p1[:v_cap], valid_p1[:v_cap]
 
-    # Scatter sorted points into (V+1, T+1, C); the +1 rows/cols absorb drops.
+    total_valid = jnp.sum(is_valid_sorted.astype(jnp.int32))
+    n_seg_total = jnp.sum(newseg.astype(jnp.int32))
+    slot_idx = jnp.arange(v_cap, dtype=jnp.int32)
+    ends = jnp.where(slot_idx + 1 < n_seg_total, starts_p1[1:], total_valid)
+    counts_full = jnp.where(start_valid, ends - starts, 0)
+    num_points = jnp.minimum(counts_full, t_cap).astype(jnp.int32)
+
     pts_sorted = points[order]
-    voxels = jnp.zeros((v_cap + 1, t_cap + 1, c), dtype=points.dtype)
-    voxels = voxels.at[slot_clamped, rank_clamped].set(pts_sorted)
-    voxels = voxels[:v_cap, :t_cap]
+    t_slot = jnp.arange(t_cap, dtype=jnp.int32)
+    gidx = jnp.clip(starts[:, None] + t_slot[None, :], 0, p - 1)
+    within = t_slot[None, :] < num_points[:, None]           # (V, T)
+    voxels = jnp.where(within[..., None], pts_sorted[gidx], 0.0)
 
-    # Per-voxel point counts (clipped to T) and coords.
-    ones = (keep & (rank < t_cap)).astype(jnp.int32)
-    num_points = jnp.zeros((v_cap + 1,), jnp.int32).at[slot_clamped].add(ones)[:v_cap]
-
-    coords = jnp.full((v_cap + 1, 3), -1, dtype=jnp.int32)
     zyx_sorted = xyz[order][:, ::-1]
-    coords = coords.at[slot_clamped].set(jnp.where(keep[:, None], zyx_sorted, -1))
-    coords = coords[:v_cap]
+    coords = jnp.where(start_valid[:, None],
+                       zyx_sorted[jnp.clip(starts, 0, p - 1)], -1
+                       ).astype(jnp.int32)
 
     voxel_mask = jnp.arange(v_cap) < num_voxels
 
-    # Map each ORIGINAL point index to its voxel slot (-1 if dropped).
+    # Map each ORIGINAL point index to its voxel slot (-1 if dropped) —
+    # a SCALAR scatter (2 ms vs 13.5 for row payloads at this size).
+    keep = is_valid_sorted & (voxel_slot_sorted < v_cap)
     pv = jnp.full((p,), -1, jnp.int32)
-    pv = pv.at[order].set(jnp.where(keep, slot_clamped, -1))
+    pv = pv.at[order].set(
+        jnp.where(keep, jnp.minimum(voxel_slot_sorted, v_cap - 1), -1))
 
     return VoxelizationOutput(
         voxels=voxels,

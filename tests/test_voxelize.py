@@ -98,3 +98,46 @@ def test_dynamic_voxelize_mapping():
     assert int(n) == 2
     assert pv[0] == pv[1] != pv[2]
     assert pv[2] >= 0
+
+
+def test_voxelize_gather_build_oracle_with_overflow():
+    """The gather-based bucket build (first-T points per voxel via segment
+    starts) must match a python oracle in both the plain and the
+    CAPACITY-OVERFLOW case — kept voxel V-1 must end at the first cut
+    segment's start, not swallow the remaining points."""
+    import jax.numpy as jnp
+    import numpy as np
+    from collections import OrderedDict
+    from findnpropagate_tpu.ops.voxelize import voxelize
+
+    rng = np.random.RandomState(0)
+    p = 200
+    pts = rng.uniform(0, 4, (p, 4)).astype(np.float32)
+    mask = rng.rand(p) > 0.1
+
+    def oracle(v_cap, t_cap):
+        groups = OrderedDict()
+        for i in range(p):
+            if not mask[i]:
+                continue
+            c = tuple(int(v) for v in np.floor(pts[i, :3]))
+            if any(v < 0 or v >= 4 for v in c):
+                continue
+            groups.setdefault(c, []).append(i)
+        lin = {c: (c[2] * 4 + c[1]) * 4 + c[0] for c in groups}
+        return sorted(groups, key=lambda c: lin[c])[:v_cap], groups
+
+    for v_cap in (32, 128):   # 62 true voxels: overflow and headroom
+        vox, coords, npnts, vmask, nv, pv = map(np.asarray, voxelize(
+            jnp.asarray(pts), jnp.asarray(mask), (0, 0, 0, 4, 4, 4),
+            (1, 1, 1), (4, 4, 4), v_cap, 5))
+        order, groups = oracle(v_cap, 5)
+        assert int(nv) == len(order)
+        for v, c in enumerate(order):
+            idxs = groups[c][:5]
+            assert tuple(coords[v]) == (c[2], c[1], c[0])
+            assert npnts[v] == len(idxs), (v_cap, v, npnts[v], len(idxs))
+            np.testing.assert_allclose(vox[v, :len(idxs)], pts[idxs])
+            for i in idxs:
+                assert pv[i] == v
+        assert (vox[int(nv):] == 0).all()
