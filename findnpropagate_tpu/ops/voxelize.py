@@ -96,36 +96,47 @@ def voxelize(
     # Bucket build is GATHER-based: TPU row gathers run ~4-5x faster than
     # row scatters (measured v5e: 300k-row 5ch scatter 13.5 ms vs 1.2M-row
     # gather 5.7 ms; PERF.md round-3). Each voxel's first T sorted points
-    # sit contiguously at [start, start+count), so the (V, T, C) buckets
-    # are one gather from pts_sorted; only SCALAR scatters remain (cheap).
-    from .sparse_ops import _mask_rank_select
-
-    pad = (-p) % 512
-    seg_mask = newseg.astype(jnp.int8)
-    if pad:
-        seg_mask = jnp.concatenate([seg_mask, jnp.zeros((pad,), jnp.int8)])
-    # v_cap + 1 starts: when segments overflow the capacity, kept voxel
-    # v_cap - 1 must END at the first CUT segment's start, not swallow
-    # every remaining point
-    starts_p1, valid_p1 = _mask_rank_select(seg_mask, v_cap + 1, 512)
-    starts, start_valid = starts_p1[:v_cap], valid_p1[:v_cap]
-
+    # sit contiguously at [start, start+count), so the buckets come from
+    # ONE batched (T, C)-slice gather; segment starts come from ONE scalar
+    # scatter-min (each newseg point knows its slot — 1.5 ms vs 17 ms for
+    # the dense rank-select at V=160k).
     total_valid = jnp.sum(is_valid_sorted.astype(jnp.int32))
-    n_seg_total = jnp.sum(newseg.astype(jnp.int32))
-    slot_idx = jnp.arange(v_cap, dtype=jnp.int32)
-    ends = jnp.where(slot_idx + 1 < n_seg_total, starts_p1[1:], total_valid)
-    counts_full = jnp.where(start_valid, ends - starts, 0)
+    pos = jnp.arange(p, dtype=jnp.int32)
+    # rows 0..v_cap-1: kept-segment starts; row v_cap: start of the FIRST
+    # CUT segment (so kept voxel v_cap-1 ends there, not at total_valid);
+    # row v_cap+1: dump for non-start points. Empty rows default to
+    # total_valid, which is exactly the "end of last segment" value.
+    seg_slot = jnp.where(newseg & is_valid_sorted,
+                         jnp.minimum(voxel_slot_sorted, v_cap), v_cap + 1)
+    starts_ext = jnp.full((v_cap + 2,), p, jnp.int32).at[seg_slot].min(pos)
+    starts_ext = jnp.minimum(starts_ext[:v_cap + 1], total_valid)
+    starts = starts_ext[:v_cap]
+    start_valid = jnp.arange(v_cap) < num_voxels
+
+    counts_full = jnp.where(start_valid, starts_ext[1:] - starts, 0)
     num_points = jnp.minimum(counts_full, t_cap).astype(jnp.int32)
 
+    # Batched contiguous (T, C) slices: XLA lowers vmap(dynamic_slice) to a
+    # single gather of V spans (8x fewer descriptors than V*T row indices).
+    # T zero pad rows keep every start in bounds without clamp skew.
     pts_sorted = points[order]
+    pts_pad = jnp.concatenate(
+        [pts_sorted, jnp.zeros((t_cap, c), pts_sorted.dtype)], axis=0)
     t_slot = jnp.arange(t_cap, dtype=jnp.int32)
-    gidx = jnp.clip(starts[:, None] + t_slot[None, :], 0, p - 1)
     within = t_slot[None, :] < num_points[:, None]           # (V, T)
-    voxels = jnp.where(within[..., None], pts_sorted[gidx], 0.0)
+    bucket = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(pts_pad, (s0, 0), (t_cap, c))
+    )(starts)
+    voxels = jnp.where(within[..., None], bucket, 0.0)
 
-    zyx_sorted = xyz[order][:, ::-1]
+    # coords: decode the linear hash at each segment start (scalar gather +
+    # integer decode beats gathering a (P, 3) xyz permutation).
+    lin_at = lin_sorted[jnp.minimum(starts, p - 1)]
+    cx = lin_at % nx
+    cy = (lin_at // nx) % ny
+    cz = lin_at // (nx * ny)
     coords = jnp.where(start_valid[:, None],
-                       zyx_sorted[jnp.clip(starts, 0, p - 1)], -1
+                       jnp.stack([cz, cy, cx], axis=1), -1
                        ).astype(jnp.int32)
 
     voxel_mask = jnp.arange(v_cap) < num_voxels
