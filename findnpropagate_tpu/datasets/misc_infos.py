@@ -20,8 +20,8 @@ out to are replaced with direct readers.
     pcdet/datasets/argo2/argo2_dataset.py:19-167 (process_single_segment /
     prepare / create_argo2_infos).
 
-Waymo info generation needs the TFRecord Frame proto schema (range-image
-decoding); it remains devkit-gated — see `waymo.py`.
+Waymo info generation lives in `waymo_infos.py` (devkit-free TFRecord +
+protobuf wire decoding + numpy range-image extraction).
 """
 
 from __future__ import annotations

@@ -3,9 +3,10 @@
 Parity target: pcdet/datasets/waymo/waymo_dataset.py (/root/reference):
 ImageSets sequence lists, per-sequence `<seq>/<seq>.pkl` infos, `%04d.npy`
 point files with NLZ filtering + tanh intensity, SAMPLED_INTERVAL
-subsampling, zero-box / name filtering. Info GENERATION from tfrecords
-needs the waymo-open-dataset devkit (absent in this environment) — the
-loader consumes the standard preprocessed layout.
+subsampling, zero-box / name filtering. Info GENERATION from raw
+`.tfrecord` sequences is devkit-free too — `datasets/waymo_infos.py`
+(TFRecord framing + protobuf wire decoding + numpy range-image
+extraction), driven from `tools/create_infos.py waymo`.
 """
 
 from __future__ import annotations

@@ -27,7 +27,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dataset", choices=["kitti", "nuscenes", "lyft",
-                                        "pandaset", "argo2", "once"])
+                                        "pandaset", "argo2", "once",
+                                        "waymo"])
+    ap.add_argument("--sampled_interval", type=int, default=1)
+    ap.add_argument("--single_return", action="store_true",
+                    help="waymo: first lidar return only")
     ap.add_argument("--data_path", required=True)
     ap.add_argument("--save_path", default=None)
     ap.add_argument("--version", default="v1.0-trainval")
@@ -74,6 +78,18 @@ def main():
         from findnpropagate_tpu.datasets.misc_infos import create_once_infos
 
         create_once_infos(args.data_path, args.save_path)
+    elif args.dataset == "waymo":
+        from findnpropagate_tpu.datasets.waymo_infos import (
+            create_waymo_gt_database, create_waymo_infos,
+        )
+
+        create_waymo_infos(
+            args.data_path, args.save_path,
+            sampled_interval=args.sampled_interval,
+            use_two_returns=not args.single_return)
+        if args.gt_database:
+            create_waymo_gt_database(args.data_path, args.save_path,
+                                     used_classes=args.classes)
     else:
         from findnpropagate_tpu.datasets.misc_infos import create_argo2_infos
 
