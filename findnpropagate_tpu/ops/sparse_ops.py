@@ -504,17 +504,31 @@ def win_downsample(coords, valid, in_shape, out_shape, max_out: int,
     return out_ids.astype(jnp.int32), out_coords, out_valid
 
 
-def _mask_rank_select(mask, max_out: int, sel_block: int):
+def _mask_rank_select(mask, max_out: int, sel_block: int,
+                      sub_block: int = 128):
     """First `max_out` set positions of a flat 0/1 int8 mask, ascending.
 
-    Blockwise popcounts + one small cumsum locate each output slot's
-    containing block via searchsorted; the in-block position is a prefix-
-    sum rank — dense VPU math on (max_out, sel_block). mask length must be
-    a sel_block multiple. Returns (positions (max_out,) int32 — garbage at
-    invalid slots, mask with out_valid —, out_valid (max_out,) bool)."""
+    Two-level rank select (PERF.md round-3 session 5: the one-level
+    variant's (max_out, sel_block) row gather + prefix was 9 ms of the
+    13 ms dense downsample at L0):
+      1. blockwise popcounts + one small cumsum locate each output slot's
+         containing sel_block via searchsorted,
+      2. a narrow (max_out, nsub) gather of per-SUB-block counts picks the
+         sub_block inside it,
+      3. only that (max_out, sub_block) slice of mask bits is gathered for
+         the final prefix-sum rank — gathered bytes and prefix width both
+         shrink by sel_block/sub_block.
+    mask length must be a sel_block multiple. Returns (positions
+    (max_out,) int32 — garbage at invalid slots, mask with out_valid —,
+    out_valid (max_out,) bool)."""
     nblk = mask.shape[0] // sel_block
-    mask_r = mask.reshape(nblk, sel_block)
-    counts = jnp.sum(mask_r.astype(jnp.int32), axis=1)          # (nblk,)
+    sub_block = min(sub_block, sel_block)
+    nsub = sel_block // sub_block
+    assert nsub * sub_block == sel_block, (sel_block, sub_block)
+    sub_counts = jnp.sum(
+        mask.reshape(nblk * nsub, sub_block).astype(jnp.int32), axis=1
+    ).reshape(nblk, nsub)                                       # (nblk, ns)
+    counts = jnp.sum(sub_counts, axis=1)                        # (nblk,)
     csum_inc = jnp.cumsum(counts)                               # inclusive
     total = csum_inc[-1]
 
@@ -523,10 +537,21 @@ def _mask_rank_select(mask, max_out: int, sel_block: int):
     blk = jnp.minimum(blk, nblk - 1).astype(jnp.int32)
     csum_exc = csum_inc - counts
     within = p_slot - csum_exc[blk]                             # rank in blk
-    rows = mask_r[blk].astype(jnp.int32)                        # (MO, SB)
+
+    subrow = sub_counts[blk]                                    # (MO, ns)
+    sub_inc = jnp.cumsum(subrow, axis=1)                        # inclusive
+    sub_idx = jnp.sum((sub_inc <= within[:, None]).astype(jnp.int32),
+                      axis=1)
+    sub_idx = jnp.minimum(sub_idx, nsub - 1)
+    sub_exc = sub_inc - subrow
+    within_sub = within - jnp.take_along_axis(
+        sub_exc, sub_idx[:, None], axis=1)[:, 0]                # rank in sub
+
+    rows = mask.reshape(nblk * nsub, sub_block)[
+        blk * nsub + sub_idx].astype(jnp.int32)                 # (MO, SUB)
     prefix = jnp.cumsum(rows, axis=1)                           # 1-indexed
-    pos = jnp.sum((prefix <= within[:, None]).astype(jnp.int32), axis=1)
-    out_pos = blk * sel_block + pos
+    pos = jnp.sum((prefix <= within_sub[:, None]).astype(jnp.int32), axis=1)
+    out_pos = blk * sel_block + sub_idx * sub_block + pos
     out_valid = p_slot < jnp.minimum(total, max_out)
     return out_pos.astype(jnp.int32), out_valid
 

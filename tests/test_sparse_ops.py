@@ -391,3 +391,25 @@ def test_win_downsample_dense_matches_sort():
         np.testing.assert_array_equal(gi[v], ri[v],
                                       err_msg=str((kernel, stride, padding)))
         assert np.all(np.diff(gi) > 0), "dense ids must stay ascending"
+
+
+def test_mask_rank_select_two_level_oracle():
+    """Two-level rank select == first-k set positions, across sub_block
+    splits, partial fills, and overflow (PERF.md round-3 session 5)."""
+    from findnpropagate_tpu.ops.sparse_ops import _mask_rank_select
+
+    rng = np.random.RandomState(7)
+    for n, sel, sub, max_out, p in [
+        (4096, 512, 128, 64, 0.01),
+        (4096, 512, 128, 256, 0.05),     # overflow: more actives than slots
+        (2048, 512, 64, 128, 0.03),
+        (1024, 256, 256, 64, 0.02),      # sub == sel (degenerate one-level)
+        (512, 512, 128, 32, 0.0),        # empty mask
+    ]:
+        mask = (rng.rand(n) < p).astype(np.int8)
+        pos, ok = _mask_rank_select(jnp.asarray(mask), max_out, sel,
+                                    sub_block=sub)
+        pos, ok = np.asarray(pos), np.asarray(ok)
+        want = np.flatnonzero(mask)[:max_out]
+        assert ok.sum() == len(want), (n, sel, sub, max_out, p)
+        np.testing.assert_array_equal(pos[ok], want)
