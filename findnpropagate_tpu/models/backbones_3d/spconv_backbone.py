@@ -219,6 +219,8 @@ class _SparseStack(nn.Module):
                     window=window, sentinel_start=sent, compute_dtype=cd,
                     scale=scale, shift=shift, relu=relu,
                     tap_window=tap_window, sub_block=sub_block,
+                    unroll=bool(self.model_cfg.get("PALLAS_UNROLL_TAPS",
+                                                   False)),
                     interpret=interp)
             from ...ops.pallas_sparse import windowed_conv_pallas_diff
 

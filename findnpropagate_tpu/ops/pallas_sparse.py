@@ -39,7 +39,7 @@ ALIGN = 512
 def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
                   deltas_ref, w_ref, *rest, precision=None, epilogue=False,
                   relu=False, sentinel=None, tap_window=None,
-                  sub_block=None):
+                  sub_block=None, unroll=False):
     """Grid: (NB,). One target block per step.
 
     lo_ref: (NB,) SMEM window starts (scalar-prefetched, 512-aligned)
@@ -146,7 +146,14 @@ def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
         gbuf[pl.ds(pl.multiple_of(kk * c, 8), c), :] = g.astype(gbuf.dtype)
         return 0
 
-    jax.lax.fori_loop(0, k, tap, 0)
+    if unroll:
+        # static tap indices: deltas/tap starts become immediate operands
+        # and Mosaic can software-pipeline the compare (VPU) of tap kk+1
+        # against the gather matmul (MXU) of tap kk
+        for kk in range(k):
+            tap(kk, 0)
+    else:
+        jax.lax.fori_loop(0, k, tap, 0)
     acc = jnp.dot(
         w_ref[:], gbuf[:], preferred_element_type=jnp.float32,
         precision=precision,
@@ -162,10 +169,11 @@ def _fused_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, feats_hbm,
 
 @functools.partial(jax.jit, static_argnames=(
     "block", "window", "interpret", "relu", "sentinel", "tap_window",
-    "sub_block"))
+    "sub_block", "unroll"))
 def _fused_call(ids2, feats_t, tgt2, lo, tap_lo, deltas, w_flat, block,
                 window, scale=None, shift=None, relu=False, sentinel=None,
-                tap_window=None, sub_block=None, interpret=False):
+                tap_window=None, sub_block=None, unroll=False,
+                interpret=False):
     """ids2 (1, V), feats_t (C, V), tgt2 (NB, block), lo (NB,),
     tap_lo (NB, K) per-tap relative sub-window starts, deltas (K,),
     w_flat (Cout, K*C) -> out (Vt, Cout) f32. With scale/shift (Cout,) the
@@ -220,7 +228,8 @@ def _fused_call(ids2, feats_t, tgt2, lo, tap_lo, deltas, w_flat, block,
     out_t = pl.pallas_call(
         functools.partial(_fused_kernel, precision=prec, epilogue=epilogue,
                           relu=relu, sentinel=sentinel,
-                          tap_window=tap_window, sub_block=sub_block),
+                          tap_window=tap_window, sub_block=sub_block,
+                          unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((cout, vt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -524,7 +533,8 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
                          block: int = 512, window: int = 1536,
                          sentinel_start=None, compute_dtype=jnp.bfloat16,
                          scale=None, shift=None, relu=False,
-                         tap_window=None, sub_block=None, interpret=False):
+                         tap_window=None, sub_block=None, unroll=False,
+                         interpret=False):
     """Drop-in fused variant of sparse_ops.windowed_conv (same contract,
     same (out, overflow) return). One UNION window per target block covers
     all taps; window starts/sizes are 512-aligned for the DMA engine.
@@ -671,5 +681,5 @@ def windowed_conv_pallas(src_ids, src_feats, tgt_ids, weights, deltas,
                       sentinel=int(sentinel_start)
                       if scale is not None else None,
                       tap_window=tap_window_eff, sub_block=sub_eff,
-                      interpret=interpret)
+                      unroll=unroll, interpret=interpret)
     return out[:, :cout].astype(src_feats.dtype), overflow

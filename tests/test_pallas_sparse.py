@@ -258,3 +258,16 @@ def test_sub_block_forward_parity_interpret():
         sentinel_start=sent, compute_dtype=jnp.float32, tap_window=128,
         sub_block=128, interpret=True)
     assert int(ovf_small) > 0
+
+
+def test_unroll_taps_forward_parity_interpret():
+    ids, feats, w, deltas, sent = make_case(seed=3)
+    ref, _ = windowed_conv(ids, feats, ids, w, deltas, block=512,
+                           window=1536, sentinel_start=sent)
+    got, ovf = windowed_conv_pallas(
+        ids, feats, ids, w, deltas, block=512, window=1536,
+        sentinel_start=sent, compute_dtype=jnp.float32, tap_window=1024,
+        unroll=True, interpret=True)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
