@@ -326,7 +326,10 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch_size", type=int, default=32)
+    # batch 8 measured throughput-optimal on v5e (PERF.md r4s1 sweep:
+    # 7.15 @ 4, 9.47 @ 8, 9.39 @ 16, 8.2 @ 32 — per-scan work dominates,
+    # HBM pressure degrades 32)
+    ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--train_batch_size", type=int, default=4)
     ap.add_argument("--train_accum", type=int, default=2)
     # a FLAT batch-4 train program crashes the axon relay compile helper
@@ -377,19 +380,29 @@ def main():
         except Exception as e:
             print(json.dumps({"metric": "train_step", "error": repr(e)[:300]}))
     if args.mode in ("all", "infer"):
-        v, counts, overflow = bench_inference(args.batch_size)
-        if counts is not None:
-            extras["active_voxels_per_level"] = counts
-        if overflow is not None:
-            extras["window_overflow"] = overflow
-        print(json.dumps({
-            "metric": "transfusion_lidar_nuscenes_inference",
-            "value": round(v, 2),
-            "unit": "scans/sec/chip",
-            "vs_baseline": round(v / 37.5, 3),
-            "batch_size": args.batch_size,
-            **extras,
-        }))
+        # The primary metric line must ALWAYS print (the driver records the
+        # last JSON line) — round 3 lost its whole record to one OOM here.
+        try:
+            v, counts, overflow = bench_inference(args.batch_size)
+            if counts is not None:
+                extras["active_voxels_per_level"] = counts
+            if overflow is not None:
+                extras["window_overflow"] = overflow
+            print(json.dumps({
+                "metric": "transfusion_lidar_nuscenes_inference",
+                "value": round(v, 2),
+                "unit": "scans/sec/chip",
+                "vs_baseline": round(v / 37.5, 3),
+                "batch_size": args.batch_size,
+                **extras,
+            }))
+        except Exception as e:
+            print(json.dumps({
+                "metric": "transfusion_lidar_nuscenes_inference",
+                "value": 0.0, "unit": "scans/sec/chip", "vs_baseline": 0.0,
+                "batch_size": args.batch_size,
+                "error": repr(e)[:300], **extras,
+            }))
 
 
 if __name__ == "__main__":

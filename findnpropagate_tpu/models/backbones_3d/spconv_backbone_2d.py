@@ -33,6 +33,7 @@ class PillarRes18BackBone8x(_SparseStack):
     def setup(self):
         nx, ny, nz = (int(g) for g in self.grid_size)
         cfg = self.model_cfg
+        self.use_bias = bool(cfg.get("USE_BIAS", self.residual))
         chans = [int(c) for c in cfg.get("CHANNELS", [32, 64, 128, 256, 256])]
         self.chans = chans
         caps = cfg.get("LEVEL_CAPACITIES", None)
@@ -50,10 +51,18 @@ class PillarRes18BackBone8x(_SparseStack):
         self.level_shapes = shapes  # strides 1, 2, 4, 8
 
         c1, c2, c3, c4, c5 = chans
-        self.blocks1 = self._make_stage(c1, c1, first_stride=None, name=1)
-        self.blocks2 = self._make_stage(c1, c2, first_stride=(2, None), name=2)
-        self.blocks3 = self._make_stage(c2, c3, first_stride=(2, None), name=3)
-        self.blocks4 = self._make_stage(c3, c4, first_stride=(2, None), name=4)
+        # true 2D kernels: 9-tap weights matching the (1, 3, 3) deltas the
+        # forward passes to _subm/_down (the 3D default left 27-tap weights
+        # against 9 deltas — reshape error at trace time)
+        K2D = (1, 3, 3)
+        self.blocks1 = self._make_stage(c1, c1, first_stride=None, name=1,
+                                        kernel=K2D)
+        self.blocks2 = self._make_stage(c1, c2, first_stride=(2, None),
+                                        name=2, kernel=K2D)
+        self.blocks3 = self._make_stage(c2, c3, first_stride=(2, None),
+                                        name=3, kernel=K2D)
+        self.blocks4 = self._make_stage(c3, c4, first_stride=(2, None),
+                                        name=4, kernel=K2D)
         # dense stride-16 stage (conv5)
         self.conv5_down = nn.Conv(c5, (3, 3), strides=(2, 2), padding="SAME",
                                   use_bias=False)
@@ -80,7 +89,8 @@ class PillarRes18BackBone8x(_SparseStack):
         ovf = []
 
         level = self._win_entry(coords2d, valid, feats, s[0], ovf)
-        level = self._blocks(self.blocks1, level, train, ovf)
+        level = self._blocks(self.blocks1, level, train, ovf,
+                             kernel=(1, 3, 3))
         multi = {"x_conv1": level}
         blocks = {2: self.blocks2, 3: self.blocks3, 4: self.blocks4}
         for li in (2, 3, 4):
@@ -89,7 +99,8 @@ class PillarRes18BackBone8x(_SparseStack):
                                self.caps[min(li, len(self.caps) - 1)], ovf,
                                kernel=(1, 3, 3), stride=(1, 2, 2),
                                padding=(0, 1, 1))
-            level = self._blocks(blocks[li], level, train, ovf)
+            level = self._blocks(blocks[li], level, train, ovf,
+                                 kernel=(1, 3, 3))
             multi[f"x_conv{li}"] = level
 
         dense = self._to_dense(level)[1]      # (B, 1, ny8, nx8, C)

@@ -60,7 +60,9 @@ class AnchorHeadSingle(nn.Module):
         )
         self._flat_anchors = anchors.reshape(-1, anchors.shape[-1])
         self.box_coder = ResidualCoder(
-            code_size=int(cfg.get("BOX_CODER_CONFIG", {}).get("code_size", 7))
+            code_size=int(cfg.get("BOX_CODER_CONFIG", {}).get("code_size", 7)),
+            encode_angle_by_sincos=bool(cfg.get("BOX_CODER_CONFIG", {}).get(
+                "encode_angle_by_sincos", False)),
         )
         code = self.box_coder.full_code_size
         self.conv_cls = nn.Conv(
@@ -210,7 +212,9 @@ def make_anchor_head_tools(model_cfg, num_class, grid_size, point_cloud_range):
         matched_t=np.tile(matched, locs),
         unmatched_t=np.tile(unmatched, locs),
         coder=ResidualCoder(
-            code_size=int(model_cfg.get("BOX_CODER_CONFIG", {}).get("code_size", 7))
+            code_size=int(model_cfg.get("BOX_CODER_CONFIG", {}).get("code_size", 7)),
+            encode_angle_by_sincos=bool(model_cfg.get("BOX_CODER_CONFIG", {}).get(
+                "encode_angle_by_sincos", False)),
         ),
     )
 

@@ -76,6 +76,44 @@ class CenterHead(nn.Module):
             preds = mod(xf, train)
             out.append({k: v.reshape(b, h, w, -1) for k, v in preds.items()})
         batch["center_preds"] = tuple(out)
+        if self.predict_boxes_when_training:
+            # Dense per-location decode so a downstream proposal layer
+            # (PV-RCNN++ RoIProposalStage) can run its own top-k + NMS —
+            # mirrors the reference CenterHead's
+            # generate_predicted_boxes-when-training path
+            # (center_head.py:generate_predicted_boxes, /root/reference).
+            cls_rows, box_rows = [], []
+            groups = self.model_cfg.get("CLASS_NAMES_EACH_HEAD") or [
+                list(self.class_names)]
+            stride = int(self.model_cfg["TARGET_ASSIGNER_CONFIG"][
+                "FEATURE_MAP_STRIDE"])
+            vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
+            pcr = self.point_cloud_range
+            xs = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(h, 0)
+            ys = jnp.arange(h, dtype=jnp.float32)[:, None].repeat(w, 1)
+            for preds, group in zip(out, groups):
+                g_center = preds["center"]
+                cx = (xs[None] + g_center[..., 0]) * stride * vx + float(pcr[0])
+                cy = (ys[None] + g_center[..., 1]) * stride * vy + float(pcr[1])
+                cz = preds["center_z"][..., 0]
+                dims = jnp.exp(preds["dim"])
+                ang = jnp.arctan2(preds["rot"][..., 1], preds["rot"][..., 0])
+                parts = [cx[..., None], cy[..., None], cz[..., None], dims,
+                         ang[..., None]]
+                if "vel" in preds:
+                    parts.append(preds["vel"])
+                boxes = jnp.concatenate(parts, axis=-1).reshape(b, h * w, -1)
+                hm = jax.nn.sigmoid(preds["hm"]).reshape(b, h * w, len(group))
+                # scatter group columns into the global class layout
+                cls_full = jnp.zeros((b, h * w, self.num_class), hm.dtype)
+                for ci, cname in enumerate(group):
+                    gi = list(self.class_names).index(cname)
+                    cls_full = cls_full.at[..., gi].set(hm[..., ci])
+                cls_rows.append(cls_full)
+                box_rows.append(boxes)
+            batch["batch_cls_preds"] = jnp.concatenate(cls_rows, axis=1)
+            batch["batch_box_preds"] = jnp.concatenate(box_rows, axis=1)
+            batch["cls_preds_normalized"] = True
         return batch
 
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.voxelize import voxelize
+from ...ops.voxelize import voxelize, voxelize_mean
 from ..backbones_2d import BACKBONE_2D_REGISTRY, MAP_TO_BEV_REGISTRY
 from ..backbones_3d import BACKBONE_3D_REGISTRY
 from ..dense_heads import DENSE_HEAD_REGISTRY
@@ -179,6 +179,12 @@ class DetectorModule(nn.Module):
             else:
                 # fully sparse heads (VoxelNeXt) read the backbone_3d output
                 head_in = self.backbone_3d.num_bev_features
+            head_kw = {}
+            if cfg["DENSE_HEAD"].get("PREDICT_BOXES_WHEN_TRAINING") \
+                    and cfg["DENSE_HEAD"]["NAME"] == "CenterHead":
+                # PV-RCNN++-style CenterHead RPN: dense decode feeds the
+                # proposal stage (center_head.py dense-decode branch)
+                head_kw["predict_boxes_when_training"] = True
             self.dense_head = head_cls(
                 model_cfg=cfg["DENSE_HEAD"],
                 input_channels=head_in,
@@ -187,6 +193,7 @@ class DetectorModule(nn.Module):
                 grid_size=tuple(self.grid_size),
                 point_cloud_range=tuple(self.point_cloud_range),
                 voxel_size=tuple(self.voxel_size),
+                **head_kw,
             )
             modules.append("dense_head")
         if "POINT_HEAD" in cfg:
@@ -235,18 +242,25 @@ class DetectorModule(nn.Module):
         self.module_order = tuple(modules)
 
     def _voxelize(self, batch):
-        """Device-side voxelization for the whole batch (vmapped)."""
+        """Device-side voxelization for the whole batch (vmapped).
 
-        def one(points, mask):
-            return voxelize(
-                points, mask,
-                tuple(self.point_cloud_range), tuple(self.voxel_size),
-                tuple(int(g) for g in self.grid_size),
-                self.max_voxels, self.max_points_per_voxel,
-            )
-
-        out = jax.vmap(one)(batch["points"], batch["points_mask"])
-        batch["voxels"] = out.voxels
+        MeanVFE models take the fused `voxelize_mean` path: the per-voxel
+        mean IS the VFE output, and skipping the (V, T, C) bucket avoids its
+        128-lane-padded layout (~20 GB at batch-32 nuScenes scale — the
+        round-3 bench OOM)."""
+        static = (
+            tuple(self.point_cloud_range), tuple(self.voxel_size),
+            tuple(int(g) for g in self.grid_size),
+            self.max_voxels, self.max_points_per_voxel,
+        )
+        if self.model_cfg.get("VFE", {}).get("NAME") == "MeanVFE":
+            out = jax.vmap(lambda pts, m: voxelize_mean(pts, m, *static))(
+                batch["points"], batch["points_mask"])
+            batch["voxel_features"] = out.means
+        else:
+            out = jax.vmap(lambda pts, m: voxelize(pts, m, *static))(
+                batch["points"], batch["points_mask"])
+            batch["voxels"] = out.voxels
         batch["voxel_coords"] = out.coords
         batch["voxel_num_points"] = out.num_points
         batch["voxel_mask"] = out.voxel_mask
@@ -295,6 +309,12 @@ class Detector3D:
             variables, batch, train=True, mutable=["batch_stats"], rngs=rngs
         )
         loss, tb = self.head_tools.compute_loss(out)
+        if "sparse_window_overflow" in out:
+            # runtime exactness sanitizer (PERF.md): a nonzero count means
+            # the configured windows truncated true neighbor spans — the
+            # trainer warns/raises on it (runtime/trainer.py)
+            tb = dict(tb)
+            tb["sparse_window_overflow"] = out["sparse_window_overflow"]
         return loss, (tb, mut)
 
     def post_process(self, out_batch, max_det: int = 256):

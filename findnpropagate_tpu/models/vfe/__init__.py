@@ -1,4 +1,5 @@
-from .dynamic_vfe import DynamicMeanVFE, DynamicPillarVFE
+from .dynamic_vfe import (DynamicMeanVFE, DynamicPillarVFE,
+                          DynamicPillarVFESimple2D)
 from .image_vfe import ImageVFE
 from .mean_vfe import MeanVFE
 from .pillar_vfe import PillarVFE
@@ -9,6 +10,7 @@ VFE_REGISTRY = {
     "DynMeanVFE": DynamicMeanVFE,
     "DynamicMeanVFE": DynamicMeanVFE,
     "DynPillarVFE": DynamicPillarVFE,
+    "DynamicPillarVFESimple2D": DynamicPillarVFESimple2D,
     "DynamicPillarVFE": DynamicPillarVFE,
     "ImageVFE": ImageVFE,
 }

@@ -160,3 +160,79 @@ class DynamicPillarVFE(nn.Module):
             x_max_pt = jnp.take_along_axis(x_max, slot_c[..., None], axis=1)
             x = jnp.concatenate([x, x_max_pt], axis=-1)
         return batch
+
+
+class DynamicPillarVFESimple2D(nn.Module):
+    """Simplified dynamic pillar VFE (dynamic_pillar_vfe.py:145 under
+    /root/reference, `DynamicPillarVFESimple2D`): center offsets only — no
+    cluster mean — with the z offset measured from the range floor, then the
+    same Linear+BN+ReLU + segment-max PFN stack. PillarNet's canonical VFE."""
+
+    model_cfg: dict
+    num_point_features: int
+    voxel_size: tuple
+    point_cloud_range: tuple
+    grid_size: tuple = ()
+
+    @property
+    def output_dim(self):
+        return int(self.model_cfg["NUM_FILTERS"][-1])
+
+    @nn.compact
+    def __call__(self, batch, train: bool):
+        use_abs = bool(self.model_cfg.get("USE_ABSLOTE_XYZ", True))
+        with_dist = bool(self.model_cfg.get("WITH_DISTANCE", False))
+        num_filters: Sequence[int] = self.model_cfg["NUM_FILTERS"]
+        vx, vy, vz = (float(s) for s in self.voxel_size)
+        x_off = vx / 2 + float(self.point_cloud_range[0])
+        y_off = vy / 2 + float(self.point_cloud_range[1])
+        z_off = vz / 2 + float(self.point_cloud_range[2])
+
+        points = batch["points"]          # (B, P, C)
+        pmask = batch["points_mask"]
+        coords = batch["voxel_coords"]    # (B, V, 3) zyx
+        vmask = batch["voxel_mask"]
+        b, p, _ = points.shape
+        v = coords.shape[1]
+
+        slots = jax.vmap(
+            lambda pts, pm, c, vm: _point_slots(
+                pts, pm, c, vm, self.voxel_size, self.point_cloud_range,
+                self.grid_size)
+        )(points, pmask, coords, vmask)   # (B, P)
+        slot_c = jnp.clip(slots, 0, v - 1)
+
+        cf = coords.astype(points.dtype)
+        centers = jnp.stack(
+            [cf[..., 2] * vx + x_off, cf[..., 1] * vy + y_off], axis=-1)
+        pt_center = jnp.take_along_axis(centers, slot_c[..., None]
+                                        .repeat(2, -1), axis=1)
+        f_center = jnp.concatenate(
+            [points[..., 0:2] - pt_center,
+             points[..., 2:3] - z_off], axis=-1)
+
+        feats = [f_center, points if use_abs else points[..., 3:]]
+        if with_dist:
+            feats.append(jnp.linalg.norm(points[..., :3], axis=-1,
+                                         keepdims=True))
+        x = jnp.concatenate(feats, axis=-1)
+        pvalid = slots < v
+        x = x * pvalid[..., None].astype(x.dtype)
+
+        for i, nf in enumerate(num_filters):
+            x = nn.Dense(int(nf), use_bias=False, name=f"pfn{i}_dense")(x)
+            x = MaskedBatchNorm(int(nf), name=f"pfn{i}_bn")(x, pvalid, train)
+            x = nn.relu(x)
+
+            def one_max(xx, slot, pv):
+                init = jnp.full((v + 1, xx.shape[-1]), -jnp.inf, xx.dtype)
+                out = init.at[slot].max(
+                    jnp.where(pv[:, None], xx, -jnp.inf))[:v]
+                return jnp.where(jnp.isfinite(out), out, 0.0)
+            x_max = jax.vmap(one_max)(x, slots, pvalid)  # (B, V, nf)
+            if i == len(num_filters) - 1:
+                batch["pillar_features"] = x_max * vmask[..., None]
+                return batch
+            x_max_pt = jnp.take_along_axis(x_max, slot_c[..., None], axis=1)
+            x = jnp.concatenate([x, x_max_pt], axis=-1)
+        return batch

@@ -24,6 +24,11 @@ class MeanVFE(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool):
+        if "voxels" not in batch and "voxel_features" in batch:
+            # Fused path: the on-device voxelizer (ops.voxelize.voxelize_mean)
+            # already produced the per-voxel means without materializing the
+            # (B, V, T, C) bucket. Nothing left to do.
+            return batch
         voxels = batch["voxels"]          # (B, V, T, C)
         num_points = batch["voxel_num_points"]  # (B, V)
         t = voxels.shape[2]

@@ -8,6 +8,20 @@ sort points by voxel hash, segment them, and scatter into fixed-capacity
 buffers with validity masks. This keeps the whole pipeline (points -> voxels
 -> VFE -> backbone) inside one jit and off the host.
 
+Two output modes:
+  * `voxelize` — materializes the (V, T, C) per-voxel point bucket, needed by
+    Pillar-style VFEs that featurize individual points (cluster/center
+    offsets). TPU layout caveat: XLA tiles the minor dim to 128 lanes, so a
+    C=4/5 bucket carries up to 32x lane padding — at batch 32 nuScenes scale
+    (V=120k, T=10) that is ~20 GB and OOMs HBM. Only use this when the VFE
+    genuinely needs per-point features.
+  * `voxelize_mean` — for MeanVFE (the flagship TransFusion path): per-voxel
+    means computed by T unrolled row gathers into a (V, C) accumulator. Peak
+    memory is O(V*C) (the size of the output), ~T*32x smaller than the
+    bucket at lane granularity; and it folds the VFE reduction into the
+    voxelizer (the mean over the first <=T points of each voxel is exactly
+    what MeanVFE computes — pcdet/models/backbones_3d/vfe/mean_vfe.py:6-31).
+
 Ordering note: the spconv CPU generator emits voxels in first-point-appearance
 order; we emit them in ascending spatial-hash order. Nothing downstream
 depends on voxel order (features are scattered into dense/sparse grids by
@@ -32,6 +46,15 @@ class VoxelizationOutput(NamedTuple):
     point_voxel_idx: jax.Array  # (P,) int32 voxel slot per point (-1 = dropped)
 
 
+class VoxelMeanOutput(NamedTuple):
+    means: jax.Array         # (V, C) mean of the first <=T points per voxel
+    coords: jax.Array        # (V, 3) int32 zyx voxel coords, -1 pad
+    num_points: jax.Array    # (V,) int32 points per voxel (clipped to T)
+    voxel_mask: jax.Array    # (V,) bool valid-voxel mask
+    num_voxels: jax.Array    # () int32
+    point_voxel_idx: jax.Array  # (P,) int32 voxel slot per point (-1 = dropped)
+
+
 def compute_voxel_coords(points, point_cloud_range, voxel_size):
     """points (P, >=3) -> (P, 3) int32 xyz voxel coords + (P,) in-range mask."""
     lo = jnp.asarray(point_cloud_range[0:3], dtype=points.dtype)
@@ -44,30 +67,13 @@ def compute_voxel_coords(points, point_cloud_range, voxel_size):
     return xyz, in_range & in_grid
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("grid_size", "max_voxels", "max_points_per_voxel"),
-)
-def voxelize(
-    points,
-    points_mask,
-    point_cloud_range: Sequence[float],
-    voxel_size: Sequence[float],
-    grid_size: Sequence[int],
-    max_voxels: int,
-    max_points_per_voxel: int,
-) -> VoxelizationOutput:
-    """Fixed-shape voxelization.
-
-    Args:
-      points: (P, 3+C) float.
-      points_mask: (P,) bool — padded/invalid points excluded.
-      grid_size: (nx, ny, nz) static ints.
-      max_voxels / max_points_per_voxel: static capacities (V, T).
-    """
+def _voxel_segments(points, points_mask, point_cloud_range, voxel_size,
+                    grid_size, v_cap, t_cap):
+    """Shared sort/segment core. Returns the per-voxel segment layout over
+    the hash-sorted points plus everything derived from it EXCEPT the point
+    features themselves (bucket vs. mean is the caller's choice)."""
     p, c = points.shape
     nx, ny, nz = (int(g) for g in grid_size)
-    v_cap, t_cap = max_voxels, max_points_per_voxel
 
     xyz, in_range = compute_voxel_coords(
         points, jnp.asarray(point_cloud_range), jnp.asarray(voxel_size)
@@ -93,13 +99,9 @@ def voxelize(
     num_voxels_total = jnp.max(jnp.where(is_valid_sorted, voxel_slot_sorted + 1, 0), initial=0)
     num_voxels = jnp.minimum(num_voxels_total, v_cap).astype(jnp.int32)
 
-    # Bucket build is GATHER-based: TPU row gathers run ~4-5x faster than
-    # row scatters (measured v5e: 300k-row 5ch scatter 13.5 ms vs 1.2M-row
-    # gather 5.7 ms; PERF.md round-3). Each voxel's first T sorted points
-    # sit contiguously at [start, start+count), so the buckets come from
-    # ONE batched (T, C)-slice gather; segment starts come from ONE scalar
-    # scatter-min (each newseg point knows its slot — 1.5 ms vs 17 ms for
-    # the dense rank-select at V=160k).
+    # Segment starts via ONE scalar scatter-min: TPU row gathers run ~4-5x
+    # faster than row scatters (measured v5e, PERF.md round-3), so everything
+    # downstream is built from `starts` gathers, not per-point scatters.
     total_valid = jnp.sum(is_valid_sorted.astype(jnp.int32))
     pos = jnp.arange(p, dtype=jnp.int32)
     # rows 0..v_cap-1: kept-segment starts; row v_cap: start of the FIRST
@@ -115,19 +117,6 @@ def voxelize(
 
     counts_full = jnp.where(start_valid, starts_ext[1:] - starts, 0)
     num_points = jnp.minimum(counts_full, t_cap).astype(jnp.int32)
-
-    # Batched contiguous (T, C) slices: XLA lowers vmap(dynamic_slice) to a
-    # single gather of V spans (8x fewer descriptors than V*T row indices).
-    # T zero pad rows keep every start in bounds without clamp skew.
-    pts_sorted = points[order]
-    pts_pad = jnp.concatenate(
-        [pts_sorted, jnp.zeros((t_cap, c), pts_sorted.dtype)], axis=0)
-    t_slot = jnp.arange(t_cap, dtype=jnp.int32)
-    within = t_slot[None, :] < num_points[:, None]           # (V, T)
-    bucket = jax.vmap(
-        lambda s0: jax.lax.dynamic_slice(pts_pad, (s0, 0), (t_cap, c))
-    )(starts)
-    voxels = jnp.where(within[..., None], bucket, 0.0)
 
     # coords: decode the linear hash at each segment start (scalar gather +
     # integer decode beats gathering a (P, 3) xyz permutation).
@@ -148,13 +137,109 @@ def voxelize(
     pv = pv.at[order].set(
         jnp.where(keep, jnp.minimum(voxel_slot_sorted, v_cap - 1), -1))
 
+    return dict(order=order, starts=starts, num_points=num_points,
+                coords=coords, voxel_mask=voxel_mask, num_voxels=num_voxels,
+                point_voxel_idx=pv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_size", "max_voxels", "max_points_per_voxel"),
+)
+def voxelize(
+    points,
+    points_mask,
+    point_cloud_range: Sequence[float],
+    voxel_size: Sequence[float],
+    grid_size: Sequence[int],
+    max_voxels: int,
+    max_points_per_voxel: int,
+) -> VoxelizationOutput:
+    """Fixed-shape voxelization with a materialized (V, T, C) point bucket.
+
+    Args:
+      points: (P, 3+C) float.
+      points_mask: (P,) bool — padded/invalid points excluded.
+      grid_size: (nx, ny, nz) static ints.
+      max_voxels / max_points_per_voxel: static capacities (V, T).
+    """
+    p, c = points.shape
+    v_cap, t_cap = max_voxels, max_points_per_voxel
+    seg = _voxel_segments(points, points_mask, point_cloud_range, voxel_size,
+                          grid_size, v_cap, t_cap)
+    starts, num_points = seg["starts"], seg["num_points"]
+
+    # Batched contiguous (T, C) slices: XLA lowers vmap(dynamic_slice) to a
+    # single gather of V spans (8x fewer descriptors than V*T row indices).
+    # T zero pad rows keep every start in bounds without clamp skew.
+    pts_sorted = points[seg["order"]]
+    pts_pad = jnp.concatenate(
+        [pts_sorted, jnp.zeros((t_cap, c), pts_sorted.dtype)], axis=0)
+    t_slot = jnp.arange(t_cap, dtype=jnp.int32)
+    within = t_slot[None, :] < num_points[:, None]           # (V, T)
+    bucket = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(pts_pad, (s0, 0), (t_cap, c))
+    )(starts)
+    voxels = jnp.where(within[..., None], bucket, 0.0)
+
     return VoxelizationOutput(
         voxels=voxels,
-        coords=coords,
+        coords=seg["coords"],
         num_points=num_points,
-        voxel_mask=voxel_mask,
-        num_voxels=num_voxels,
-        point_voxel_idx=pv,
+        voxel_mask=seg["voxel_mask"],
+        num_voxels=seg["num_voxels"],
+        point_voxel_idx=seg["point_voxel_idx"],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_size", "max_voxels", "max_points_per_voxel"),
+)
+def voxelize_mean(
+    points,
+    points_mask,
+    point_cloud_range: Sequence[float],
+    voxel_size: Sequence[float],
+    grid_size: Sequence[int],
+    max_voxels: int,
+    max_points_per_voxel: int,
+) -> VoxelMeanOutput:
+    """Voxelization fused with the MeanVFE reduction.
+
+    Identical segment semantics to `voxelize` (same hash sort, same <=T
+    point cap per voxel), but the (V, T, C) bucket is never materialized:
+    the mean is accumulated with T unrolled (V,)-row gathers from the
+    sorted points. Masked lanes read a dedicated zero row, so no
+    multiplicative mask is needed. Peak intermediate is (V, C) — this is
+    what keeps batch-32 nuScenes inference inside HBM (the bucket's
+    lane-padded layout is ~20 GB there; see module docstring).
+    """
+    p, c = points.shape
+    v_cap, t_cap = max_voxels, max_points_per_voxel
+    seg = _voxel_segments(points, points_mask, point_cloud_range, voxel_size,
+                          grid_size, v_cap, t_cap)
+    starts, num_points = seg["starts"], seg["num_points"]
+
+    pts_sorted = points[seg["order"]]
+    # One zero row at index p: rows [starts+t] for t < num_points are always
+    # < total_valid <= p, so index p is reached only by masked lanes.
+    pts_pad = jnp.concatenate(
+        [pts_sorted, jnp.zeros((1, c), pts_sorted.dtype)], axis=0)
+    acc = jnp.zeros((v_cap, c), pts_sorted.dtype)
+    for t in range(t_cap):
+        idx = jnp.where(t < num_points, starts + t, p)
+        acc = acc + pts_pad[idx]
+    normalizer = jnp.clip(num_points.astype(acc.dtype), 1.0)[:, None]
+    means = acc / normalizer
+
+    return VoxelMeanOutput(
+        means=means,
+        coords=seg["coords"],
+        num_points=num_points,
+        voxel_mask=seg["voxel_mask"],
+        num_voxels=seg["num_voxels"],
+        point_voxel_idx=seg["point_voxel_idx"],
     )
 
 

@@ -151,7 +151,7 @@ def make_train_step(detector, tx, mesh=None, donate=True, seed: int = 17,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(detector, mesh=None):
+def make_eval_step(detector, mesh=None, with_overflow=False):
     if mesh is not None:
         _, constrain_data = _mesh_constraints(mesh)
 
@@ -165,7 +165,12 @@ def make_eval_step(detector, mesh=None):
             )
             batch = constrain_data(batch)
         out = detector.apply(variables, batch, train=False)
-        return detector.post_process(out)
+        dets = detector.post_process(out)
+        if not with_overflow:
+            return dets
+        # surface the windowed-conv exactness counter so eval drivers can
+        # assert it is zero (VERDICT r3 #8; bench.py runs the same audit)
+        return dets, out.get("sparse_window_overflow", jnp.zeros((), jnp.int32))
 
     return jax.jit(eval_step)
 
@@ -243,6 +248,19 @@ def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
             global_it += 1
             if it % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                # runtime exactness sanitizer (VERDICT r3 #8): nonzero means
+                # the windowed sparse conv silently truncated neighbor spans
+                # — the run computes WRONG activations until TAP_WINDOW /
+                # WINDOWED_WINDOW / LEVEL_CAPACITIES are enlarged.
+                if m.get("sparse_window_overflow", 0) > 0:
+                    import warnings
+
+                    warnings.warn(
+                        "sparse_window_overflow="
+                        f"{int(m['sparse_window_overflow'])} — windowed "
+                        "sparse conv truncated neighbors; enlarge "
+                        "TAP_WINDOW/WINDOWED_WINDOW (results are wrong)",
+                        RuntimeWarning, stacklevel=1)
                 history.append(m)
                 emit(
                     f"epoch {epoch} it {it}/{len(loader)} "

@@ -54,12 +54,20 @@ def rotation_matrix_z(angle):
 
 
 def rotate_points_along_z(points, angle):
-    """points: (B, N, 3+C); angle: (B,). Rotates xyz, passes extra dims through."""
+    """points: (B, N, 3+C) with angle (B,), or unbatched (N, 3+C) with a
+    scalar angle (the form jax.vmap presents). Rotates xyz, passes extra
+    dims through."""
     rot = rotation_matrix_z(angle)
-    xyz = jnp.einsum(
-        "bnd,bde->bne", points[..., 0:3], rot,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if points.ndim == 2:
+        xyz = jnp.einsum(
+            "nd,de->ne", points[..., 0:3], rot,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        xyz = jnp.einsum(
+            "bnd,bde->bne", points[..., 0:3], rot,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return jnp.concatenate([xyz, points[..., 3:]], axis=-1)
 
 

@@ -208,3 +208,89 @@ def test_lyft_threshold_sweep_drops_loose_matches():
     assert ap_list[0] == pytest.approx(1.0)
     assert ap_list[1] == pytest.approx(1.0)
     assert ap_list[2] == pytest.approx(0.0)
+
+
+# ------------------------------------------------------------------ Argo2
+
+def _argo2_frames(det_offset=0.0, yaw_err=0.0, n=6):
+    gts, dets = [], []
+    for f in range(2):
+        rng = np.random.RandomState(100 + f)
+        b = np.zeros((n, 7))
+        b[:, 0] = rng.uniform(5, 60, n)
+        b[:, 1] = rng.uniform(-30, 30, n)
+        b[:, 2] = 0.8
+        b[:, 3:6] = [4.6, 2.0, 1.7]
+        b[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        gts.append({"gt_boxes": b.copy(),
+                    "gt_names": np.asarray(["REGULAR_VEHICLE"] * n)})
+        d = b.copy()
+        d[:, 0] += det_offset
+        d[:, 6] += yaw_err
+        dets.append({"boxes": d, "scores": np.linspace(0.9, 0.5, n),
+                     "name": np.asarray(["REGULAR_VEHICLE"] * n)})
+    return gts, dets
+
+
+def test_argo2_perfect_detections():
+    from findnpropagate_tpu.datasets.argo2_eval import argo2_eval
+
+    gts, dets = _argo2_frames()
+    _, res = argo2_eval(gts, dets, ["REGULAR_VEHICLE"])
+    assert res["REGULAR_VEHICLE_AP"] == pytest.approx(1.0)
+    assert res["REGULAR_VEHICLE_ATE"] == pytest.approx(0.0, abs=1e-9)
+    assert res["REGULAR_VEHICLE_ASE"] == pytest.approx(0.0, abs=1e-9)
+    assert res["REGULAR_VEHICLE_AOE"] == pytest.approx(0.0, abs=1e-9)
+    assert res["REGULAR_VEHICLE_CDS"] == pytest.approx(1.0)
+    assert res["mAP"] == pytest.approx(1.0)
+
+
+def test_argo2_threshold_sweep_and_ate():
+    """A 1.5 m offset matches only at the 2 m and 4 m thresholds ->
+    AP = mean(0, 0, 1, 1); ATE = 1.5 at the 2 m TP threshold."""
+    from findnpropagate_tpu.datasets.argo2_eval import argo2_eval
+
+    gts, dets = _argo2_frames(det_offset=1.5)
+    _, res = argo2_eval(gts, dets, ["REGULAR_VEHICLE"])
+    assert res["REGULAR_VEHICLE_AP"] == pytest.approx(0.5)
+    assert res["REGULAR_VEHICLE_ATE"] == pytest.approx(1.5, abs=1e-6)
+    # CDS discounts AP by the normalized ATE (1.5 / 2.0)
+    want_cds = 0.5 * np.mean([1 - 1.5 / 2.0, 1.0, 1.0])
+    assert res["REGULAR_VEHICLE_CDS"] == pytest.approx(want_cds, abs=1e-6)
+
+
+def test_argo2_yaw_error_hits_aoe_not_ap():
+    from findnpropagate_tpu.datasets.argo2_eval import argo2_eval
+
+    gts, dets = _argo2_frames(yaw_err=0.3)
+    _, res = argo2_eval(gts, dets, ["REGULAR_VEHICLE"])
+    assert res["REGULAR_VEHICLE_AP"] == pytest.approx(1.0)
+    assert res["REGULAR_VEHICLE_AOE"] == pytest.approx(0.3, abs=1e-6)
+
+
+def test_argo2_no_tp_takes_max_errors():
+    from findnpropagate_tpu.datasets.argo2_eval import argo2_eval
+
+    gts, dets = _argo2_frames(det_offset=50.0)
+    _, res = argo2_eval(gts, dets, ["REGULAR_VEHICLE"])
+    assert res["REGULAR_VEHICLE_AP"] == pytest.approx(0.0)
+    assert res["REGULAR_VEHICLE_ATE"] == pytest.approx(2.0)
+    assert res["REGULAR_VEHICLE_ASE"] == pytest.approx(1.0)
+    assert res["REGULAR_VEHICLE_AOE"] == pytest.approx(np.pi)
+    assert res["REGULAR_VEHICLE_CDS"] == pytest.approx(0.0)
+
+
+def test_argo2_range_and_point_filters():
+    """GTs beyond max_range_m or with zero interior points are excluded."""
+    from findnpropagate_tpu.datasets.argo2_eval import argo2_eval
+
+    b = np.zeros((3, 7))
+    b[:, 0] = [10.0, 300.0, 20.0]
+    b[:, 3:6] = [4.0, 2.0, 1.5]
+    gts = [{"gt_boxes": b, "gt_names": np.asarray(["BUS"] * 3),
+            "num_points_in_gt": np.array([5, 5, 0])}]
+    dets = [{"boxes": b[:1], "scores": np.array([0.9]),
+             "name": np.asarray(["BUS"])}]
+    _, res = argo2_eval(gts, dets, ["BUS"], max_range_m=200.0)
+    # only gt 0 counts (gt 1 out of range, gt 2 has no points) -> perfect
+    assert res["BUS_AP"] == pytest.approx(1.0)

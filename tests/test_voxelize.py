@@ -141,3 +141,37 @@ def test_voxelize_gather_build_oracle_with_overflow():
             for i in idxs:
                 assert pv[i] == v
         assert (vox[int(nv):] == 0).all()
+
+
+def test_voxelize_mean_matches_bucket_mean():
+    """voxelize_mean must equal the (bucket -> masked mean) composition for
+    every voxel, including truncated (count > T) and capped-V cases."""
+    from findnpropagate_tpu.ops.voxelize import voxelize_mean
+
+    rng = np.random.RandomState(7)
+    points = rng.uniform(0, 10, (400, 5)).astype(np.float32)
+    points[:, 2] = rng.uniform(0, 4, 400)
+    points[50:60] = 100.0  # out of range
+    mask = np.ones(400, dtype=bool)
+    mask[::17] = False
+
+    for v_cap, t_cap in [(32, 4), (64, 3), (16, 10)]:
+        bucket = voxelize(points, mask, PC_RANGE, VOXEL_SIZE, GRID,
+                          v_cap, t_cap)
+        fused = voxelize_mean(points, mask, PC_RANGE, VOXEL_SIZE, GRID,
+                              v_cap, t_cap)
+        np.testing.assert_array_equal(np.asarray(bucket.coords),
+                                      np.asarray(fused.coords))
+        np.testing.assert_array_equal(np.asarray(bucket.num_points),
+                                      np.asarray(fused.num_points))
+        np.testing.assert_array_equal(np.asarray(bucket.voxel_mask),
+                                      np.asarray(fused.voxel_mask))
+        np.testing.assert_array_equal(np.asarray(bucket.point_voxel_idx),
+                                      np.asarray(fused.point_voxel_idx))
+        nums = np.asarray(bucket.num_points).astype(np.float32)
+        want = np.asarray(bucket.voxels).sum(axis=1) / np.clip(
+            nums, 1.0, None)[:, None]
+        np.testing.assert_allclose(np.asarray(fused.means), want,
+                                   rtol=1e-6, atol=1e-6)
+        # padding rows are exactly zero
+        assert np.all(np.asarray(fused.means)[int(fused.num_voxels):] == 0)

@@ -42,9 +42,15 @@ def consume(tree):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    args, _ = ap.parse_known_args()
+
     from bench import build_transfusion_bench
 
-    det, variables, batch = build_transfusion_bench(1)
+    det, variables, batch = build_transfusion_bench(args.batch)
     batch = jax.device_put(batch)
 
     # run voxelize+vfe once to get the backbone input

@@ -37,6 +37,7 @@ def chain_time(fn, *args, iters=8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -44,7 +45,7 @@ def main():
 
     from bench import build_transfusion_bench
 
-    det, variables, batch = build_transfusion_bench(1)
+    det, variables, batch = build_transfusion_bench(args.batch)
     batch = jax.device_put(batch)
 
     # ---- stage-by-stage cumulative forward (module_order prefixes) -------

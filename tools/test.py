@@ -55,7 +55,7 @@ def eval_ckpt(detector, loader, dataset, variables, logger, class_names,
               infer_time=False, max_batches=None, known_classes=None):
     from findnpropagate_tpu.models.post_processing import recall_record
 
-    eval_step = make_eval_step(detector)
+    eval_step = make_eval_step(detector, with_overflow=True)
     known_labels = tuple(
         class_names.index(n) + 1 for n in (known_classes or ())
         if n in class_names
@@ -69,7 +69,12 @@ def eval_ckpt(detector, loader, dataset, variables, logger, class_names,
         frame_ids = batch.pop("frame_id", None)
         batch.pop("batch_size", None)
         t0 = time.time()
-        dets = eval_step(variables, batch)
+        dets, win_ovf = eval_step(variables, batch)
+        if int(win_ovf) > 0:
+            logger.warning(
+                "sparse_window_overflow=%d — windowed sparse conv truncated "
+                "neighbors; enlarge TAP_WINDOW/WINDOWED_WINDOW (metrics are "
+                "computed on WRONG activations)", int(win_ovf))
         jax.block_until_ready(dets.boxes)
         times.append(time.time() - t0)
         boxes = np.asarray(dets.boxes)
