@@ -227,7 +227,9 @@ class _SparseStack(nn.Module):
             return windowed_conv_pallas_diff(
                 src_ids, src_feats, tgt_ids, w, deltas, block=block,
                 window=window, sentinel_start=sent, compute_dtype=cd,
-                tap_window=tap_window, interpret=interp)
+                tap_window=tap_window,
+                unroll=bool(self.model_cfg.get("PALLAS_UNROLL_TAPS", False)),
+                interpret=interp)
         assert scale is None, "epilogue fusion is pallas-eval only"
         return windowed_conv(
             src_ids, src_feats, tgt_ids, w, deltas, block=block,

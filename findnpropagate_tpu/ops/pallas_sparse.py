@@ -472,7 +472,7 @@ def windowed_conv_pallas_diff(src_ids, src_feats, tgt_ids, weights, deltas,
                               block: int = 512, window: int = 1536,
                               sentinel_start=None,
                               compute_dtype=jnp.bfloat16, tap_window=None,
-                              interpret=False):
+                              unroll=False, interpret=False):
     """Differentiable fused windowed conv: Pallas forward AND Pallas
     transposed backward for d_feats; dW via the fused Pallas dW kernel.
     `tap_window` applies to BOTH directions (the transposed conv has the
@@ -487,7 +487,7 @@ def windowed_conv_pallas_diff(src_ids, src_feats, tgt_ids, weights, deltas,
         out, _ = windowed_conv_pallas(
             s_ids, feats, t_ids, w, dl, block=blk, window=win,
             sentinel_start=None, compute_dtype=cd, tap_window=tw,
-            interpret=interpret)
+            unroll=unroll, interpret=interpret)
         return out
 
     def fwd(blk, win, cd, tw, s_ids, t_ids, dl, feats, w):
@@ -503,7 +503,7 @@ def windowed_conv_pallas_diff(src_ids, src_feats, tgt_ids, weights, deltas,
         d_feats, _ = windowed_conv_pallas(
             t_ids, g.astype(feats.dtype), s_ids, w_t, -dl, block=blk,
             window=win, sentinel_start=None, compute_dtype=cd,
-            tap_window=tw, interpret=interpret)
+            tap_window=tw, unroll=unroll, interpret=interpret)
         d_w = windowed_dw_pallas(s_ids, feats, t_ids, g, dl, block=blk,
                                  window=win, compute_dtype=cd,
                                  interpret=interpret)
