@@ -38,6 +38,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--start", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -69,7 +70,7 @@ def main():
         return f
 
     prev = 0.0
-    for k in range(len(names)):
+    for k in range(args.start, len(names)):
         ms = chain_time(run_prefix(k), variables, batch, iters=args.iters)
         print(f"prefix {k:2d} +{names[k]:24s}: {ms:8.1f} ms  (+{ms-prev:7.1f})",
               flush=True)
