@@ -112,14 +112,15 @@ class PreprocessedDetector:
 
 class PreprocessedGLIP:
     """GLIP .pth + COCO meta json loader (preprocessed_detector.py:7-110).
-    Requires torch (cpu) to read the reference's .pth format."""
+    Reads the reference's `.pth` format with the in-repo torch-free
+    unpickler (utils/torch_ckpt.py) — no runtime torch dependency."""
 
     def __init__(self, preds_path, meta_json, class_names, max_dets: int = 64):
         self.class_names = list(class_names)
         self.max_dets = max_dets
-        import torch  # cpu-only torch is available in this environment
+        from ..utils.torch_ckpt import load_torch_pth
 
-        self.preds = torch.load(preds_path, map_location="cpu")
+        self.preds = load_torch_pth(preds_path)
         with open(meta_json) as f:
             meta = json.load(f)
         self.path_to_img_id = {

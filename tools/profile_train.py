@@ -18,15 +18,16 @@ import jax.numpy as jnp
 
 
 def chain(fn, iters=5):
+    # chained-truth protocol (PERF.md / bench.py): warm up once, then time
+    # `iters` chained calls and divide by exactly that count (ADVICE r4: a
+    # separately-measured single call must not enter the divisor).
     s = fn(jnp.float32(0.0))
     jax.block_until_ready(s)
-    t0 = time.perf_counter(); s = fn(jnp.float32(1.0)); jax.block_until_ready(s)
-    t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(iters):
         s = fn(s + jnp.float32(i) * 0.01)
     jax.block_until_ready(s)
-    return (time.perf_counter() - t0 - t1) / (iters - 1) * 1000.0
+    return (time.perf_counter() - t0) / iters * 1000.0
 
 
 def main():
