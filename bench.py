@@ -95,8 +95,15 @@ def build_transfusion_bench(batch_size: int = 1, training: bool = False):
     data_cfg = EDict({
         "DATASET": "SyntheticDataset",
         "POINT_CLOUD_RANGE": cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
+        # PATTERN lidar_ring (r5): faithful 32-beam 10-sweep scan geometry.
+        # The old uniform scatter saturated the 120k L0 cap AND overflowed
+        # the true L1 active set past its 65536 capacity (silent rank-
+        # select truncation — the measured program wasn't the exact
+        # network). Ring scenes land at the occupancies real sweeps have
+        # (~105k/60k/25k/7k) and every level cap binds correctly; the
+        # active_voxels_per_level telemetry in the output line audits this.
         "SYNTHETIC": {"NUM_SCENES": max(2, batch_size), "NUM_OBJECTS": 40,
-                      "NUM_RAW_POINTS": 250000},
+                      "NUM_RAW_POINTS": 250000, "PATTERN": "lidar_ring"},
         "CAPACITIES": dict(cfg.DATA_CONFIG.CAPACITIES),
         "POINT_FEATURE_ENCODING": {
             "encoding_type": "absolute_coordinates_encoding",

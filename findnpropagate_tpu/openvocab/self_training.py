@@ -142,12 +142,16 @@ def extract_pseudo_labels(detector, variables, inference_loader, processor,
 def train_model_st(detector, train_loader, inference_loader, state, tx,
                    epochs, processor: PseudoProcessor, mesh=None, logger=None,
                    ckpt_dir=None, st_warmup=3, st_interval=1, relabeler=None,
-                   log_interval=10, seed: int = 17):
-    """ST epoch driver (train_utils.py:327-449)."""
-    from ..runtime.trainer import make_train_step
+                   log_interval=10, seed: int = 17,
+                   ckpt_save_time_interval=None):
+    """ST epoch driver (train_utils.py:327-449). ckpt_save_time_interval:
+    wall-clock-timed latest_model saves inside epochs (the reference's
+    train_one_epoch does this for ST runs too, train_utils.py:249-257)."""
+    from ..runtime.trainer import make_train_step, save_intra_checkpoint
 
     train_step = make_train_step(detector, tx, mesh=mesh, seed=seed)
     emit = logger.info if logger else print
+    last_timed_save = time.time()
     for epoch in range(epochs):
         if epoch >= st_warmup and (epoch - st_warmup) % st_interval == 0:
             if not pseudo_labels_exist(processor, epoch):
@@ -164,6 +168,15 @@ def train_model_st(detector, train_loader, inference_loader, state, tx,
             batch.pop("frame_id", None)
             batch.pop("batch_size", None)
             state, metrics = train_step(state, batch)
+            if (ckpt_save_time_interval is not None and ckpt_dir is not None
+                    and time.time() - last_timed_save
+                    > ckpt_save_time_interval):
+                import jax
+
+                jax.block_until_ready(state.params)
+                save_intra_checkpoint(ckpt_dir, state, epoch, it + 1)
+                last_timed_save = time.time()
+                emit(f"timed checkpoint saved at st epoch {epoch} it {it+1}")
             if it % log_interval == 0:
                 emit(
                     f"st epoch {epoch} it {it}/{len(train_loader)} "

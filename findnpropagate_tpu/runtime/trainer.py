@@ -206,6 +206,48 @@ def latest_checkpoint(ckpt_dir):
     return ckpts[-1] if ckpts else None
 
 
+def save_intra_checkpoint(ckpt_dir, state: TrainState, epoch: int, it: int):
+    """Wall-clock-timed mid-epoch save (reference train_utils.py:249-257
+    `latest_model` every ckpt_save_time_interval seconds): one rotating
+    slot plus a json sidecar recording (epoch, it) so a preempted run can
+    resume inside the epoch instead of losing hours of nuScenes work.
+    Written to a fresh dir + atomic rename so a preemption mid-save can
+    never corrupt the only resume point."""
+    import json
+    import shutil
+
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    tmp = ckpt_dir / "latest_model.tmp"
+    final = ckpt_dir / "latest_model"
+    meta_tmp = ckpt_dir / "latest_model.meta.json.tmp"
+    meta = ckpt_dir / "latest_model.meta.json"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(tmp, jax.device_get(state._asdict()), force=True)
+    ckptr.wait_until_finished()
+    meta_tmp.write_text(
+        json.dumps({"epoch": int(epoch), "it": int(it),
+                    "step": int(state.step)}))
+    shutil.rmtree(final, ignore_errors=True)
+    tmp.rename(final)
+    meta_tmp.rename(meta)  # meta last: stale meta only re-trains some iters
+    return final
+
+
+def latest_intra_checkpoint(ckpt_dir):
+    """(path, epoch, it) of the timed mid-epoch save, or None. Prefer it
+    over the per-epoch checkpoint when it is newer (larger global step)."""
+    import json
+
+    path = Path(ckpt_dir) / "latest_model"
+    meta = Path(ckpt_dir) / "latest_model.meta.json"
+    if not meta.exists() or not path.exists():
+        return None
+    m = json.loads(meta.read_text())
+    return path, int(m["epoch"]), int(m["it"])
+
+
 def restore_checkpoint(path, state: TrainState) -> TrainState:
     ckptr = ocp.StandardCheckpointer()
     target = jax.device_get(state._asdict())
@@ -218,21 +260,39 @@ def restore_checkpoint(path, state: TrainState) -> TrainState:
 def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
                  ckpt_dir=None, log_interval=10, ckpt_save_interval=1,
                  start_epoch=0, hooks=None, writer=None, schedule=None,
-                 seed: int = 17, accum_steps: int = 1):
-    """Simple epoch driver (reference train_model, train_utils.py:264-325)."""
+                 seed: int = 17, accum_steps: int = 1,
+                 ckpt_save_time_interval=None, start_it: int = 0):
+    """Simple epoch driver (reference train_model, train_utils.py:264-325).
+
+    ckpt_save_time_interval (seconds): wall-clock-timed `latest_model`
+    saves inside the epoch (train_utils.py:249-257) so preemption loses at
+    most one interval; resume via latest_intra_checkpoint + start_it.
+    start_it: skip the first iterations of start_epoch (mid-epoch resume —
+    the loader re-runs its deterministic epoch order and already-trained
+    batches are skipped without being loaded through the model)."""
     train_step = make_train_step(detector, tx, mesh=mesh, seed=seed,
                                  accum_steps=accum_steps)
     emit = logger.info if logger else print
     history = []
-    global_it = start_epoch * len(loader)
+    global_it = start_epoch * len(loader) + start_it
+    last_timed_save = time.time()
     for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         if hooks:
             for h in hooks:
                 h(epoch=epoch, loader=loader)
         t0 = time.time()
-        data_meter = None
+        # step-time telemetry (reference train_utils.py:139-142,184-236):
+        # data time measured per-iter; true steps/sec from the blocking
+        # sync at each log interval (train_step dispatch is async)
+        data_time = 0.0
+        t_iter = time.time()
+        t_last_log = time.time()
         for it, batch in enumerate(loader):
+            data_time += time.time() - t_iter
+            if epoch == start_epoch and it < start_it:
+                t_iter = time.time()
+                continue
             if mesh is not None:
                 if jax.process_count() > 1:
                     # multi-host: assemble one global array from each
@@ -246,6 +306,13 @@ def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
             batch.pop("batch_size", None)
             state, metrics = train_step(state, batch)
             global_it += 1
+            if (ckpt_save_time_interval is not None and ckpt_dir is not None
+                    and time.time() - last_timed_save
+                    > ckpt_save_time_interval):
+                jax.block_until_ready(state.params)
+                save_intra_checkpoint(ckpt_dir, state, epoch, it + 1)
+                last_timed_save = time.time()
+                emit(f"timed checkpoint saved at epoch {epoch} it {it + 1}")
             if it % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 # runtime exactness sanitizer (VERDICT r3 #8): nonzero means
@@ -262,6 +329,12 @@ def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
                         "TAP_WINDOW/WINDOWED_WINDOW (results are wrong)",
                         RuntimeWarning, stacklevel=1)
                 history.append(m)
+                dt_log = time.time() - t_last_log
+                steps = max(1, log_interval if it else 1)
+                m["data_time"] = data_time / steps
+                m["step_time"] = dt_log / steps
+                data_time = 0.0
+                t_last_log = time.time()
                 emit(
                     f"epoch {epoch} it {it}/{len(loader)} "
                     + " ".join(f"{k}={v:.4f}" for k, v in m.items())
@@ -274,6 +347,17 @@ def train_epochs(detector, loader, state, tx, epochs, mesh=None, logger=None,
                             "meta_data/learning_rate",
                             float(schedule(global_it)), global_it,
                         )
+                # device telemetry every 3 log intervals (the reference
+                # shells out to gpustat, train_utils.py:233-236)
+                if it % (3 * log_interval) == 0:
+                    try:
+                        ms = jax.local_devices()[0].memory_stats() or {}
+                        used = ms.get("bytes_in_use", 0) / 2**30
+                        lim = ms.get("bytes_limit", 0) / 2**30
+                        emit(f"device mem {used:.2f}/{lim:.2f} GiB")
+                    except Exception:
+                        pass
+            t_iter = time.time()
         emit(f"epoch {epoch} done in {time.time()-t0:.1f}s")
         if ckpt_dir is not None and (epoch + 1) % ckpt_save_interval == 0:
             save_checkpoint(ckpt_dir, state, step=epoch + 1)

@@ -1,8 +1,11 @@
-"""Demo CLI — folder-of-bin-files inference + matplotlib BEV visualization.
+"""Demo CLI — folder-of-bin-files inference + matplotlib visualization.
 
-Mirrors tools/demo.py (/root/reference tools/demo.py:24-120): loads raw
-point-cloud .bin/.npy files, runs the configured detector, and renders BEV
-plots (matplotlib — this environment has no open3d/mayavi).
+Mirrors tools/demo.py + tools/demo_pyplot.py (/root/reference
+tools/demo.py:24-120): loads raw point-cloud .bin/.npy files, runs the
+configured detector, and renders either BEV plots (--mode bev) or true-3D
+scenes with box wireframes (--mode 3d, tools/visual_utils/
+pyplot_vis_utils.py — matplotlib mplot3d; this environment has no
+open3d/mayavi).
 """
 
 from __future__ import annotations
@@ -78,6 +81,9 @@ def main():
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--ext", default=".bin")
     parser.add_argument("--out_dir", default="demo_out")
+    parser.add_argument("--mode", default="bev", choices=["bev", "3d"],
+                        help="bev: top-down plot; 3d: mplot3d scene with "
+                             "box wireframes")
     parser.add_argument("--set", dest="set_cfgs", default=None,
                         nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -109,14 +115,29 @@ def main():
         fid = b.pop("frame_id")[0]
         b.pop("batch_size")
         dets = eval_step(variables, b)
-        draw_bev(
-            sample["points"],
-            (np.asarray(dets.boxes[0]), np.asarray(dets.scores[0]),
-             np.asarray(dets.labels[0]), int(np.asarray(dets.count[0]))),
-            out_dir / f"{fid}.png",
-            cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
-        )
-        logger.info(f"{fid}: {int(np.asarray(dets.count[0]))} detections")
+        count = int(np.asarray(dets.count[0]))
+        if args.mode == "3d":
+            from visual_utils.pyplot_vis_utils import save_scene
+
+            save_scene(
+                out_dir / f"{fid}.png", sample["points"],
+                ref_boxes=np.asarray(dets.boxes[0])[:count],
+                ref_scores=np.asarray(dets.scores[0])[:count],
+                ref_labels=np.asarray(dets.labels[0])[:count].astype(int),
+                bv_range=(cfg.DATA_CONFIG.POINT_CLOUD_RANGE[0],
+                          cfg.DATA_CONFIG.POINT_CLOUD_RANGE[1],
+                          cfg.DATA_CONFIG.POINT_CLOUD_RANGE[3],
+                          cfg.DATA_CONFIG.POINT_CLOUD_RANGE[4]),
+            )
+        else:
+            draw_bev(
+                sample["points"],
+                (np.asarray(dets.boxes[0]), np.asarray(dets.scores[0]),
+                 np.asarray(dets.labels[0]), count),
+                out_dir / f"{fid}.png",
+                cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
+            )
+        logger.info(f"{fid}: {count} detections")
 
 
 if __name__ == "__main__":

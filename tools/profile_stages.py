@@ -60,7 +60,10 @@ def main():
         @jax.jit
         def f(variables, batch, s):
             b = dict(batch)
-            b["points"] = b["points"] + s * 1e-7
+            # multiplicative + iteration-indexed perturbation (PERF.md truth
+            # protocol) — the additive 1e-7 form can underflow f32 ulp and
+            # turn later iterations into relay replays
+            b["points"] = b["points"] * (1.0 + (s % 1.0) * 1e-3)
             b = det.apply(variables, b, train=False, upto=k)
             leaves = [x for x in jax.tree.leaves(b)
                       if hasattr(x, "dtype")

@@ -94,11 +94,24 @@ def main():
     state = create_train_state(detector, example, tx, rng)
 
     start_epoch = 0
+    start_it = 0
     resume = args.ckpt or latest_checkpoint(ckpt_dir)
+    # prefer the timed mid-epoch save when it is newer than the per-epoch
+    # checkpoint (reference train_utils.py:249-257 latest_model)
+    from findnpropagate_tpu.runtime.trainer import latest_intra_checkpoint
+
+    intra = None if args.ckpt else latest_intra_checkpoint(ckpt_dir)
+    if intra is not None:
+        epoch_no = (int(Path(resume).name.split("_")[-1]) if resume else 0)
+        if intra[1] >= epoch_no:
+            resume, start_epoch, start_it = intra[0], intra[1], intra[2]
     if resume:
-        logger.info(f"resuming from {resume}")
+        logger.info(f"resuming from {resume}"
+                    + (f" (epoch {start_epoch}, it {start_it})"
+                       if start_it else ""))
         state = restore_checkpoint(resume, state)
-        start_epoch = int(Path(resume).name.split("_")[-1])
+        if not start_it:
+            start_epoch = int(Path(resume).name.split("_")[-1])
 
     from findnpropagate_tpu.utils.metrics import (
         BatchingSummaryWriter,
@@ -116,9 +129,11 @@ def main():
 
     state, history = train_epochs(
         detector, loader, state, tx, epochs, mesh=mesh, logger=logger,
-        ckpt_dir=ckpt_dir, start_epoch=start_epoch, hooks=hooks,
-        writer=writer, schedule=schedule, seed=args.seed,
+        ckpt_dir=ckpt_dir, start_epoch=start_epoch, start_it=start_it,
+        hooks=hooks, writer=writer, schedule=schedule, seed=args.seed,
         accum_steps=int(cfg.OPTIMIZATION.get("GRAD_ACCUM_STEPS", 1)),
+        ckpt_save_time_interval=float(
+            cfg.OPTIMIZATION.get("CKPT_SAVE_TIME_INTERVAL", 300.0)),
     )
     writer.close()
     logger.info("training done")

@@ -105,6 +105,8 @@ def main():
         mesh=mesh, logger=logger, ckpt_dir=output_dir / "ckpt",
         st_warmup=args.st_warmup, st_interval=args.st_interval,
         seed=args.seed,
+        ckpt_save_time_interval=float(
+            cfg.OPTIMIZATION.get("CKPT_SAVE_TIME_INTERVAL", 300.0)),
     )
     logger.info("self-training done")
 
