@@ -208,7 +208,7 @@ class _SparseStack(nn.Module):
         bias+BN(+relu) epilogue, pallas-eval only. sub_block: banded
         per-(tap, target-sub-span) source slices, pallas-eval only."""
         impl = str(self.model_cfg.get("SUBM_IMPL", "xla")).lower()
-        if impl == "pallas":
+        if impl in ("pallas", "posgather"):
             cd = jnp.float32 if prec is not None else jnp.bfloat16
             interp = bool(self.model_cfg.get("PALLAS_INTERPRET", False))
             if not train:
@@ -240,9 +240,44 @@ class _SparseStack(nn.Module):
         return (
             not train
             and str(self.model_cfg.get("SUBM_IMPL", "xla")).lower()
-            == "pallas"
+            in ("pallas", "posgather")
             and bool(self.model_cfg.get("FUSE_BN_EPILOGUE", True))
         )
+
+    def _use_posgather(self, train):
+        """Position-gather kernels (ops/pallas_posgather) on the eval path:
+        per-level rank prelude shared by every conv + banded dynamic-permute
+        gathers instead of per-tap one-hot compare matmuls (measured 0.69 ms
+        marginal vs 4.7 ms one-hot per L0 conv, PERF.md round 5). Training
+        keeps the differentiable windowed kernels."""
+        return (not train and str(self.model_cfg.get(
+            "SUBM_IMPL", "xla")).lower() == "posgather")
+
+    def _level_ctx(self, ctx_cache, ids, shape, lvl_i, kernel, ovf_acc):
+        """Positions for (active list, kernel), cached across the level's
+        subm convs (same id list object -> same alignment)."""
+        key = (id(ids), tuple(kernel))
+        if key in ctx_cache:
+            return ctx_cache[key]
+        import numpy as np
+
+        from ...ops.pallas_posgather import compute_positions
+
+        block, window, _, _ = self._win_cfg(lvl_i)
+        band = self._per_level(
+            self.model_cfg.get("POSGATHER_BAND", 3), lvl_i)
+        tap = self._per_level(self.model_cfg.get("TAP_WINDOW", None), lvl_i)
+        deltas = np.asarray(yxz_offset_deltas(kernel, shape))
+        sent = yxz_sentinel_start(shape)
+        interp = bool(self.model_cfg.get("PALLAS_INTERPRET", False))
+        ctx = jax.vmap(
+            lambda i: compute_positions(
+                i, i, deltas, block=block, window=window, band=band,
+                tap_window=tap, sentinel_start=sent, interpret=interp)
+        )(ids)
+        ovf_acc.append(jnp.sum(ctx.overflow))
+        ctx_cache[key] = ctx
+        return ctx
 
     def _win_entry(self, coords, valid, feats, shape, ovf_acc):
         """Sort the batch's active sets into yxz-id order and pad V to a
@@ -335,7 +370,7 @@ class _SparseStack(nn.Module):
         return m > 0
 
     def _subm(self, level, wmod, bnmod, train, ovf_acc, kernel=(3, 3, 3),
-              relu=True):
+              relu=True, ctx_cache=None):
         w, b = wmod()
         kind, a, m = level
         if kind == "win":
@@ -349,6 +384,34 @@ class _SparseStack(nn.Module):
             sent = yxz_sentinel_start(shape)
             sub = self._per_level(
                 self.model_cfg.get("SUB_BLOCK", None), lvl_i)
+            if self._use_posgather(train) and ctx_cache is not None:
+                from ...ops.pallas_posgather import posgather_conv
+
+                ctx = self._level_ctx(ctx_cache, ids, shape, lvl_i, kernel,
+                                      ovf_acc)
+                interp = bool(self.model_cfg.get("PALLAS_INTERPRET", False))
+                cd = jnp.float32 if interp else jnp.bfloat16
+                if self._fuse_epilogue(train):
+                    bscale, bshift = bnmod.affine()
+                    if b is not None:
+                        bshift = bshift + bscale * b
+                    out = jax.vmap(
+                        lambda i, f, l: posgather_conv(
+                            i, f, i, w, l, scale=bscale, shift=bshift,
+                            relu=relu, sentinel_start=sent,
+                            compute_dtype=cd, interpret=interp)
+                    )(ids, feats, ctx)
+                    return ("win", (ids, coords, valid, out), shape)
+                out = jax.vmap(
+                    lambda i, f, l: posgather_conv(
+                        i, f, i, w, l, compute_dtype=cd, interpret=interp)
+                )(ids, feats, ctx)
+                if b is not None:
+                    out = out + b[None, None, :]
+                out = jnp.where(valid[..., None], out, 0.0)
+                out = bnmod(out, valid, train)
+                out = nn.relu(out) if relu else out
+                return ("win", (ids, coords, valid, out), shape)
             if self._fuse_epilogue(train):
                 # bias + BN + relu + padding-mask all inside the kernel
                 bscale, bshift = bnmod.affine()
@@ -437,6 +500,49 @@ class _SparseStack(nn.Module):
                 self.model_cfg.get("STRIDED_TAP_WINDOW", None), lvl_i)
             ssub = self._per_level(
                 self.model_cfg.get("STRIDED_SUB_BLOCK", None), lvl_i)
+            if self._use_posgather(train):
+                import numpy as np_
+
+                from ...ops.pallas_posgather import (
+                    compute_positions, posgather_conv)
+
+                sband = self._per_level(
+                    self.model_cfg.get("STRIDED_BAND", 6), lvl_i)
+                dl_np = np_.asarray(
+                    strided_deltas(kernel, stride, padding, in_shape))
+                interp = bool(self.model_cfg.get("PALLAS_INTERPRET", False))
+                cd = jnp.float32 if interp else jnp.bfloat16
+                ctx = jax.vmap(
+                    lambda si, ti: compute_positions(
+                        si, ti, dl_np, block=block, window=swindow,
+                        band=sband, tap_window=stap, sentinel_start=sent,
+                        interpret=interp)
+                )(ids, base)
+                ovf_acc.append(jnp.sum(ctx.overflow))
+                if self._fuse_epilogue(train):
+                    bscale, bshift = bnmod.affine()
+                    if b is not None:
+                        bshift = bshift + bscale * b
+                    out = jax.vmap(
+                        lambda si, sf, ti, l: posgather_conv(
+                            si, sf, ti, w, l, scale=bscale, shift=bshift,
+                            relu=True, sentinel_start=sent,
+                            compute_dtype=cd, interpret=interp)
+                    )(ids, feats, base, ctx)
+                    level = ("win", (oi, oc, ov, out), out_shape)
+                    return self._to_dense(level, train) if dense_out \
+                        else level
+                out = jax.vmap(
+                    lambda si, sf, ti, l: posgather_conv(
+                        si, sf, ti, w, l, compute_dtype=cd,
+                        interpret=interp)
+                )(ids, feats, base, ctx)
+                if b is not None:
+                    out = out + b[None, None, :]
+                out = jnp.where(ov[..., None], out, 0.0)
+                out = nn.relu(bnmod(out, ov, train))
+                level = ("win", (oi, oc, ov, out), out_shape)
+                return self._to_dense(level, train) if dense_out else level
             if self._fuse_epilogue(train):
                 bscale, bshift = bnmod.affine()
                 if b is not None:
@@ -488,7 +594,8 @@ class _SparseStack(nn.Module):
         y = nn.relu(bnmod(y, new_mask, train))
         return ("dense", y, new_mask)
 
-    def _blocks(self, mods, level, train, ovf_acc, kernel=(3, 3, 3)):
+    def _blocks(self, mods, level, train, ovf_acc, kernel=(3, 3, 3),
+                ctx_cache=None):
         if self.residual:
             n_blk = sum(1 for k in mods if k.startswith("res")
                         and k.endswith("_conv1"))
@@ -502,10 +609,11 @@ class _SparseStack(nn.Module):
                     identity = a
                 level = self._subm(level, mods[f"res{blk}_conv1"],
                                    mods[f"res{blk}_bn1"], train, ovf_acc,
-                                   kernel=kernel)
+                                   kernel=kernel, ctx_cache=ctx_cache)
                 level = self._subm(level, mods[f"res{blk}_conv2"],
                                    mods[f"res{blk}_bn2"], train, ovf_acc,
-                                   kernel=kernel, relu=False)
+                                   kernel=kernel, relu=False,
+                                   ctx_cache=ctx_cache)
                 kind, a, m = level
                 if kind == "win":
                     ids, coords, valid, feats = a
@@ -525,7 +633,7 @@ class _SparseStack(nn.Module):
             for blk in range(n_blk):
                 level = self._subm(level, mods[f"conv{blk}"],
                                    mods[f"bn{blk}"], train, ovf_acc,
-                                   kernel=kernel)
+                                   kernel=kernel, ctx_cache=ctx_cache)
         return level
 
     def __call__(self, batch, train: bool):
@@ -546,14 +654,18 @@ class _SparseStack(nn.Module):
         if dense_from <= 0:
             level = self._to_dense(level, train)
 
-        level = self._subm(level, self.w_input, self.bn_input, train, ovf_acc)
-        level = self._blocks(self.blocks1, level, train, ovf_acc)
+        ctx_cache = {}
+        level = self._subm(level, self.w_input, self.bn_input, train,
+                           ovf_acc, ctx_cache=ctx_cache)
+        level = self._blocks(self.blocks1, level, train, ovf_acc,
+                             ctx_cache=ctx_cache)
         lvl1 = level
 
         level = self._down(level, self.blocks2["down"], self.blocks2["down_bn"],
                            train, s2, self.caps[2], ovf_acc, padding=(1, 1, 1),
                            dense_out=dense_from <= 1)
-        level = self._blocks(self.blocks2, level, train, ovf_acc)
+        level = self._blocks(self.blocks2, level, train, ovf_acc,
+                             ctx_cache=ctx_cache)
         lvl2 = level
 
         def dense_tail(level, ovf):
@@ -561,14 +673,16 @@ class _SparseStack(nn.Module):
                                self.blocks3["down_bn"], train, s3,
                                self.caps[3], ovf, padding=(1, 1, 1),
                                dense_out=dense_from <= 2)
-            level = self._blocks(self.blocks3, level, train, ovf)
+            level = self._blocks(self.blocks3, level, train, ovf,
+                                 ctx_cache=ctx_cache)
             lvl3 = level
 
             level = self._down(level, self.blocks4["down"],
                                self.blocks4["down_bn"], train, s4,
                                self.caps[4], ovf, padding=(0, 1, 1),
                                dense_out=dense_from <= 3)
-            level = self._blocks(self.blocks4, level, train, ovf)
+            level = self._blocks(self.blocks4, level, train, ovf,
+                                 ctx_cache=ctx_cache)
             lvl4 = level
 
             level = self._down(level, self.w_out, self.bn_out, train, s_out,

@@ -36,6 +36,7 @@ Parity target: spconv SubMConv3d/SparseConv3d as used by
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -47,30 +48,33 @@ ALIGN = 512
 
 
 def group_center_deltas(deltas27):
-    """27 zyx-C-order tap deltas -> the 9 group-center (dz=0) deltas, plus
-    the static check that each group's z-taps are consecutive ids.
+    """K zyx-C-order tap deltas (K % 3 == 0) -> the K/3 group-center (dz=0)
+    deltas, plus the static check that each group's z-taps are consecutive
+    ids.
 
-    _kernel_offsets order: k = zi*9 + yi*3 + xi with dz = zi-1 — so group g
-    (= yi*3 + xi) has taps k = g, 9+g, 18+g at deltas D-1, D, D+1."""
+    _kernel_offsets order: k = zi*G + yi*kx + xi with dz = zi-1 — so group
+    g has taps k = g, G+g, 2G+g at deltas D-1, D, D+1 (true for any
+    (3, ky, kx) kernel over guard-banded yxz ids)."""
     d = np.asarray(deltas27)
-    assert d.shape[0] == 27
-    centers = d[9:18]
-    assert np.all(d[0:9] == centers - 1) and np.all(d[18:27] == centers + 1), \
+    assert d.shape[0] % 3 == 0
+    g = d.shape[0] // 3
+    centers = d[g:2 * g]
+    assert np.all(d[0:g] == centers - 1) and np.all(d[2 * g:] == centers + 1), \
         "tap deltas are not z-consecutive; posgather needs a k3 z axis"
     return centers.astype(np.int32)
 
 
 def reorder_weights_groups(weights27):
-    """(27, Cin, Cout) zyx-C-order -> (9, 3, Cin, Cout) grouped [g, zi]."""
+    """(K, Cin, Cout) zyx-C-order -> (K/3, 3, Cin, Cout) grouped [g, zi]."""
     k, cin, cout = weights27.shape
-    assert k == 27
+    assert k % 3 == 0
     return jnp.transpose(
-        weights27.reshape(3, 9, cin, cout), (1, 0, 2, 3))
+        weights27.reshape(3, k // 3, cin, cout), (1, 0, 2, 3))
 
 
 def _positions_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, gd_ref,
                       pos_ref, win_ids, tgt_buf, sem_i, sem_t, *,
-                      tap_window=None):
+                      tap_window=None, g_pad=None):
     """Grid (NB,). pos_ref block: (G, W) int32 — hit ? rank : ~rank, ranks
     relative to the block's union window (tap sub-window start added back).
     """
@@ -125,6 +129,9 @@ def _positions_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, gd_ref,
         rank = jnp.sum(lt.astype(jnp.int32), axis=0) + off
         hit = jnp.sum(eq.astype(jnp.int32), axis=0) > 0
         pos_ref[g, :] = jnp.where(hit, rank, ~rank)
+    if g_pad is not None:
+        for g in range(g_n, g_pad):
+            pos_ref[g, :] = jnp.zeros((w_blk,), jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "window", "tap_window",
@@ -136,6 +143,7 @@ def _positions_call(ids2, tgt2, lo, tap_lo, gdeltas, block, window,
     nb = tgt2.shape[0]
     vt = nb * block
     g_n = gdeltas.shape[0]
+    g_pad = -(-g_n // 8) * 8  # sublane-tile aligned output rows
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -146,7 +154,7 @@ def _positions_call(ids2, tgt2, lo, tap_lo, gdeltas, block, window,
             pl.BlockSpec((g_n, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),          # group deltas
         ],
-        out_specs=pl.BlockSpec((g_n, block), lambda i, *_: (0, i),
+        out_specs=pl.BlockSpec((g_pad, block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 1, window), jnp.int32),
@@ -156,8 +164,9 @@ def _positions_call(ids2, tgt2, lo, tap_lo, gdeltas, block, window,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_positions_kernel, tap_window=tap_window),
-        out_shape=jax.ShapeDtypeStruct((g_n, vt), jnp.int32),
+        functools.partial(_positions_kernel, tap_window=tap_window,
+                          g_pad=g_pad),
+        out_shape=jax.ShapeDtypeStruct((g_pad, vt), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(lo, tap_lo, tgt2.reshape(1, -1), ids2, gdeltas[:, None])
@@ -173,7 +182,7 @@ def _conv_kernel(starts_ref, lo_ref, base_ref, tgt_hbm, ids_hbm, feats_hbm,
     lo_ref: (NB,) SMEM window starts; base_ref: (NB,) SMEM first window id
     tgt_hbm (1, Vt) / ids_hbm (1, V) int32; feats_hbm (C, V) f32
     pos_hbm (G, Vt) int32 signed-hit window-relative ranks
-    w_ref: (Cout, 27*C) VMEM (group-major: row block g*3C + zi*C)
+    w_ref: (Cout, K*C) VMEM (group-major: row block g*3C + zi*C)
     [scale, shift (Cout, 1) when epilogue]
     out_ref (Cout, W); scratches: win_ids (2, 1, S) i32,
     win_feats (2, C, S) f32, tgt_buf (2, 1, W) i32, pos_buf (2, G, W) i32,
@@ -190,7 +199,7 @@ def _conv_kernel(starts_ref, lo_ref, base_ref, tgt_hbm, ids_hbm, feats_hbm,
     s = win_ids.shape[2]
     c = win_feats.shape[1]
     cg = relw.shape[0]
-    g_n = pos_buf.shape[1]
+    g_n = gd_ref.shape[0]
     w_blk = tgt_buf.shape[2]
     ot_n = w_blk // 128
     bw = band * 128
@@ -300,7 +309,7 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, gdeltas,
     nb = tgt2.shape[0]
     vt = nb * block
     c = feats_t.shape[0]
-    g_n = pos.shape[0]
+    g_n = gdeltas.shape[0]
     cout = w_flat.shape[0]
     epilogue = scale is not None
     out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
@@ -312,7 +321,7 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, gdeltas,
         pl.BlockSpec(memory_space=pltpu.ANY),           # pos
         pl.BlockSpec((g_n, 1), lambda i, *_: (0, 0),
                      memory_space=pltpu.SMEM),          # group deltas
-        pl.BlockSpec((cout, 27 * c), lambda i, *_: (0, 0),
+        pl.BlockSpec((cout, 3 * g_n * c), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),          # weights
     ]
     operands = [starts, lo, base, tgt2.reshape(1, -1), ids2, feats_t, pos,
@@ -335,9 +344,9 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, gdeltas,
             pltpu.VMEM((2, 1, window), jnp.int32),
             pltpu.VMEM((2, c, window), jnp.float32),
             pltpu.VMEM((2, 1, block), jnp.int32),
-            pltpu.VMEM((2, g_n, block), jnp.int32),
+            pltpu.VMEM((2, pos.shape[0], block), jnp.int32),
             pltpu.VMEM((-(-(c + 1) // 8) * 8, window), jnp.float32),
-            pltpu.VMEM((27 * c, block), compute_dtype),
+            pltpu.VMEM((3 * g_n * c, block), compute_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -354,22 +363,28 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, gdeltas,
     return out_t.T
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("lo", "base", "pos", "starts", "gdeltas", "overflow"),
+    meta_fields=("block", "window", "band"),
+)
+@dataclass(frozen=True)
 class LevelPositions:
     """Precomputed per-level alignment shared by every conv on the level:
-    window starts, first-window-ids, signed-hit ranks for the 9 tap groups,
-    per-(block, group, out-tile) band starts, and the overflow count."""
+    window starts, first-window-ids, signed-hit ranks for the tap groups,
+    per-(block, group, out-tile) band starts, and the overflow count.
+    Registered as a pytree so it maps through vmap/jit (static knobs are
+    metadata)."""
 
-    def __init__(self, lo, base, pos, starts, gdeltas, overflow, block,
-                 window, band):
-        self.lo = lo
-        self.base = base
-        self.pos = pos
-        self.starts = starts
-        self.gdeltas = gdeltas
-        self.overflow = overflow
-        self.block = block
-        self.window = window
-        self.band = band
+    lo: jax.Array
+    base: jax.Array
+    pos: jax.Array
+    starts: jax.Array
+    gdeltas: jax.Array
+    overflow: jax.Array
+    block: int
+    window: int
+    band: int
 
 
 def compute_positions(src_ids, tgt_ids, deltas27, block: int, window: int,
@@ -448,7 +463,8 @@ def compute_positions(src_ids, tgt_ids, deltas27, block: int, window: int,
     # 128-target tile at (first target's rank - 1), 128-aligned — the -1
     # guarantees the rank-1 probe of the FIRST target is in-band, and
     # monotonicity then keeps every later target's lower probe in-band too.
-    ranks = jnp.where(pos >= 0, pos, ~pos)                 # (G, Vt)
+    pos_g = pos[:gdeltas.shape[0]]
+    ranks = jnp.where(pos_g >= 0, pos_g, ~pos_g)           # (G, Vt)
     first = ranks[:, ::128]                                # (G, NB*OT)
     ot_n = block // 128
     bw = band * 128
@@ -469,8 +485,10 @@ def compute_positions(src_ids, tgt_ids, deltas27, block: int, window: int,
 
     starts = starts.reshape(g_n, nb, ot_n).transpose(1, 0, 2).reshape(
         nb, g_n * ot_n).astype(jnp.int32)
-    return LevelPositions(lo, base.astype(jnp.int32), pos, starts,
-                          gdeltas, overflow, block, window, band)
+    return LevelPositions(lo=lo, base=base.astype(jnp.int32), pos=pos,
+                          starts=starts, gdeltas=gdeltas,
+                          overflow=overflow, block=block, window=window,
+                          band=band)
 
 
 def posgather_conv(src_ids, src_feats, tgt_ids, weights, lp: LevelPositions,
@@ -485,6 +503,7 @@ def posgather_conv(src_ids, src_feats, tgt_ids, weights, lp: LevelPositions,
     vs, cin = src_feats.shape
     vt = tgt_ids.shape[0]
     k, _, cout = weights.shape
+    g_n = k // 3
     nb = vt // lp.block
 
     pad_src = (-vs) % ALIGN
@@ -500,23 +519,23 @@ def posgather_conv(src_ids, src_feats, tgt_ids, weights, lp: LevelPositions,
     # stay sublane-tile aligned; Cout to the usual 8.
     cin_p = -(-cin // 16) * 16
     cout_p = -(-cout // 8) * 8
-    wg = reorder_weights_groups(weights)            # (9, 3, Cin, Cout)
+    wg = reorder_weights_groups(weights)            # (G, 3, Cin, Cout)
     if cin_p != cin:
         src_feats = jnp.concatenate(
             [src_feats, jnp.zeros((vs, cin_p - cin), src_feats.dtype)],
             axis=1)
         wg = jnp.concatenate(
-            [wg, jnp.zeros((9, 3, cin_p - cin, cout), wg.dtype)], axis=2)
+            [wg, jnp.zeros((g_n, 3, cin_p - cin, cout), wg.dtype)], axis=2)
     if cout_p != cout:
         wg = jnp.concatenate(
-            [wg, jnp.zeros((9, 3, cin_p, cout_p - cout), wg.dtype)], axis=3)
+            [wg, jnp.zeros((g_n, 3, cin_p, cout_p - cout), wg.dtype)], axis=3)
     if scale is not None and cout_p != cout:
         pad_c = jnp.zeros((cout_p - cout,), jnp.float32)
         scale = jnp.concatenate([scale.astype(jnp.float32), pad_c])
         shift = jnp.concatenate([shift.astype(jnp.float32), pad_c])
 
     w_flat = jnp.transpose(wg, (3, 0, 1, 2)).reshape(
-        cout_p, 27 * cin_p).astype(compute_dtype)
+        cout_p, 3 * g_n * cin_p).astype(compute_dtype)
     feats_t = src_feats.T.astype(jnp.float32)
 
     out = _conv_call(src_ids[None, :], feats_t,

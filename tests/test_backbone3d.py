@@ -197,3 +197,30 @@ def test_per_level_window_lists_and_scatter_downsample():
     np.testing.assert_allclose(
         np.asarray(got["encoded_spconv_tensor"]),
         np.asarray(ref["encoded_spconv_tensor"]), rtol=1e-4, atol=1e-4)
+
+
+def test_posgather_matches_gather():
+    """SUBM_IMPL=posgather (interpret): per-level rank prelude + banded
+    dynamic-permute gathers must reproduce the gather-GEMM reference
+    through the full backbone (subm + strided + (3,1,1) out conv)."""
+    rng = np.random.RandomState(4)
+    batch = make_batch(rng)
+    outs = {}
+    var0 = None
+    for mode in ("ref", "posgather"):
+        cfg = {"MAX_VOXELS": 4096,
+               "LEVEL_CAPACITIES": [4096, 4096, 4096, 2048, 1024],
+               "DENSE_FROM_LEVEL": 2, "SUBM_MODE": "windowed",
+               "WINDOWED_BLOCK": 512, "WINDOWED_WINDOW": 512,
+               "POSGATHER_BAND": 3, "STRIDED_BAND": 4}
+        if mode == "posgather":
+            cfg.update({"SUBM_IMPL": "posgather", "PALLAS_INTERPRET": True,
+                        "FUSE_BN_EPILOGUE": True})
+        bb = VoxelResBackBone8x(model_cfg=cfg, input_channels=5,
+                                grid_size=GRID)
+        if var0 is None:
+            var0 = bb.init(jax.random.PRNGKey(0), dict(batch), train=False)
+        out = bb.apply(var0, dict(batch), train=False)
+        outs[mode] = np.asarray(out["encoded_spconv_tensor"])
+        assert int(out["sparse_window_overflow"]) == 0, mode
+    np.testing.assert_allclose(outs["ref"], outs["posgather"], atol=5e-3)
