@@ -24,3 +24,20 @@ if _os.environ.get("JAX_PLATFORMS"):
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:  # already initialized with a backend — leave it
         pass
+
+# Persistent XLA/Mosaic compilation cache: the fused sparse-conv kernels
+# take minutes each through the remote TPU compile helper; caching the
+# compiled executables on disk makes repeat bench/test/tool invocations
+# start in seconds instead of tens of minutes. Opt out with
+# FINDNPROPAGATE_NO_COMPILE_CACHE=1.
+if not _os.environ.get("FINDNPROPAGATE_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    try:
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

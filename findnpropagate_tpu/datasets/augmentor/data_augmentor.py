@@ -242,6 +242,11 @@ class DataAugmentor:
             data_dict["gt_boxes"] = gt
         return data_dict
 
+    # reference name for the scene-level slab dropout
+    # (pcdet data_augmentor.py:236)
+    def random_world_frustum_dropout(self, data_dict, config):
+        return self.random_global_frustum_dropout(data_dict, config)
+
     def random_local_frustum_dropout(self, data_dict, config):
         """Per-object partial dropout (local_frustum_dropout_*,
         augmentor_utils.py:416-494): removes the in-box points beyond a

@@ -134,10 +134,11 @@ class _SparseStack(nn.Module):
         self.bn_out = MaskedBatchNorm(self.out_channels)
 
     def _make_stage(self, cin, cout, first_stride, name, num_blocks=2,
-                    kernel=(3, 3, 3)):
+                    kernel=(3, 3, 3), down_kernel=None):
         mods = {}
         if first_stride is not None:
-            mods["down"] = SparseConvParam(cin, cout, kernel=kernel)
+            mods["down"] = SparseConvParam(cin, cout,
+                                           kernel=down_kernel or kernel)
             mods["down_bn"] = MaskedBatchNorm(cout)
             cin = cout
         if self.residual:
@@ -384,7 +385,8 @@ class _SparseStack(nn.Module):
             sent = yxz_sentinel_start(shape)
             sub = self._per_level(
                 self.model_cfg.get("SUB_BLOCK", None), lvl_i)
-            if self._use_posgather(train) and ctx_cache is not None:
+            if (self._use_posgather(train) and ctx_cache is not None
+                    and kernel[0] == 3):
                 from ...ops.pallas_posgather import posgather_conv
 
                 ctx = self._level_ctx(ctx_cache, ids, shape, lvl_i, kernel,
@@ -500,7 +502,7 @@ class _SparseStack(nn.Module):
                 self.model_cfg.get("STRIDED_TAP_WINDOW", None), lvl_i)
             ssub = self._per_level(
                 self.model_cfg.get("STRIDED_SUB_BLOCK", None), lvl_i)
-            if self._use_posgather(train):
+            if self._use_posgather(train) and kernel[0] == 3:
                 import numpy as np_
 
                 from ...ops.pallas_posgather import (

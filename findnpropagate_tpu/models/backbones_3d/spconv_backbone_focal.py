@@ -71,9 +71,12 @@ class VoxelBackBone8xFocal(_SparseStack):
     def setup(self):
         super().setup()
         c1, c2, c3 = self.chans[1], self.chans[2], self.chans[3]
+        use_img = bool(self.model_cfg.get("USE_IMG", False))
+        img_ch = int(self.model_cfg.get("IMAGE_CHANNEL", 3))
         focal = {}
         for idx, c in ((1, c1), (2, c2), (3, c3)):
-            focal[f"f{idx}_imp"] = SparseConvParam(c, 27)
+            cin_imp = c + (img_ch if use_img else 0)
+            focal[f"f{idx}_imp"] = SparseConvParam(cin_imp, 27)
             focal[f"f{idx}_conv"] = SparseConvParam(c, c)
             focal[f"f{idx}_bn"] = MaskedBatchNorm(c)
         self.focal_mods = focal
@@ -103,6 +106,44 @@ class VoxelBackBone8xFocal(_SparseStack):
             return valid & (mask_voxel >= cut)
         return valid & (mask_voxel > threshold)
 
+    def _img_feats_at(self, batch, coords, stage_stride):
+        """USE_IMG multimodal branch (reference
+        focal_sparse_conv.py:60-118 construct_multimodal_features): voxel
+        centers projected through the KITTI calib, image features sampled
+        bilinearly at the projections (out-of-view -> 0). The reference
+        samples pretrained-DeepLab features; this environment has no such
+        checkpoint, so the sampled features are the raw RGB planes
+        (image_channel=3, the reference's default) — same fusion topology,
+        weights learned from scratch."""
+        imgs = batch["images"]                    # (B, H, W, 3)
+        l2c = batch["trans_lidar_to_cam"]         # (B, 4, 4)
+        c2i = batch["trans_cam_to_img"]           # (B, 3, 4)
+        h, w = imgs.shape[1], imgs.shape[2]
+
+        def one(img, l2c_i, c2i_i, coords_i):
+            ctr = self._voxel_centers(coords_i, stage_stride)     # (V, 3)
+            ones = jnp.ones((ctr.shape[0], 1), jnp.float32)
+            cam = (jnp.concatenate([ctr, ones], -1) @ l2c_i.T)[:, :3]
+            uvw = cam @ c2i_i[:, :3].T + c2i_i[:, 3]
+            depth = jnp.clip(uvw[:, 2], 1e-3)
+            u = uvw[:, 0] / depth
+            v = uvw[:, 1] / depth
+            inview = ((uvw[:, 2] > 0.1) & (u >= 0) & (u < w - 1)
+                      & (v >= 0) & (v < h - 1))
+            u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 2)
+            v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 2)
+            du = jnp.clip(u - u0, 0.0, 1.0)[:, None]
+            dv = jnp.clip(v - v0, 0.0, 1.0)[:, None]
+            f00 = img[v0, u0]
+            f01 = img[v0, u0 + 1]
+            f10 = img[v0 + 1, u0]
+            f11 = img[v0 + 1, u0 + 1]
+            f = (f00 * (1 - du) * (1 - dv) + f01 * du * (1 - dv)
+                 + f10 * (1 - du) * dv + f11 * du * dv)
+            return jnp.where(inview[:, None], f, 0.0)
+
+        return jax.vmap(one)(imgs.astype(jnp.float32), l2c, c2i, coords)
+
     def _voxel_centers(self, coords, stage_stride):
         """Voxel centers in world coords (focal_sparse_conv.py:203-204:
         spatial indices scaled back to the full-resolution grid)."""
@@ -128,10 +169,22 @@ class VoxelBackBone8xFocal(_SparseStack):
             block, window, _, prec = self._win_cfg()
             deltas = jnp.asarray(yxz_offset_deltas((3, 3, 3), shape))
             sent = yxz_sentinel_start(shape)
+            imp_in = feats
+            if bool(self.model_cfg.get("USE_IMG", False)):
+                img_ch = int(self.model_cfg.get("IMAGE_CHANNEL", 3))
+                if "images" in batch:
+                    img_f = self._img_feats_at(batch, coords, stage_stride)
+                    img_f = jnp.where(valid[..., None], img_f, 0.0)
+                else:
+                    # image-less batches (e.g. lidar-only eval) still run
+                    # the multimodal weights with zeroed image planes
+                    img_f = jnp.zeros(
+                        feats.shape[:-1] + (img_ch,), feats.dtype)
+                imp_in = jnp.concatenate([feats, img_f], axis=-1)
             imp, ovf = jax.vmap(
                 lambda i, f: self._win_conv(
                     i, f, i, w_imp, deltas, block, window, prec, sent, train)
-            )(ids, feats)
+            )(ids, imp_in)
             ovf_acc.append(jnp.sum(ovf))
             imp = jax.nn.sigmoid(imp)                    # (B, V, 27)
             mask_voxel = imp[..., -1]

@@ -53,8 +53,12 @@ class VoxelResBackBone8xVoxelNeXt(_SparseStack):
             "VoxelNeXt multi-scale concat stacks rows, so conv4/conv5/conv6 "
             "channel counts must match (reference default 128)")
 
-        # level shapes: all strided convs use k3 s2 p1
-        # (spconv_backbone_voxelnext.py:97-127)
+        # strided convs: k3 s2 p1 by default; SPCONV_KERNEL_SIZES (the
+        # ioubranch-large variant uses [5, 5, 3, 3]) widens the downsample
+        # kernels of stages 2-5 (k s2 p=k//2 keeps the output shapes of the
+        # k3 case — reference spconv_backbone_voxelnext.py:75,95-127)
+        ks = [int(v) for v in cfg.get("SPCONV_KERNEL_SIZES", [3, 3, 3, 3])]
+        self.down_kernels = ks + [3]          # stages 2..6
         shapes = [self.sparse_shape]
         for _ in range(5):
             shapes.append(tuple(conv_out_dim(n, 3, 2, 1) for n in shapes[-1]))
@@ -62,14 +66,15 @@ class VoxelResBackBone8xVoxelNeXt(_SparseStack):
         self.bev_shape = (shapes[3][1], shapes[3][2])  # stride-8 (ny, nx)
 
         c1, c2, c3, c4, c5 = self.chans
+        dk = [(k, k, k) for k in self.down_kernels]
         self.w_input = SparseConvParam(self.input_channels, c1)
         self.bn_input = MaskedBatchNorm(c1)
         self.blocks1 = self._make_stage(c1, c1, first_stride=None, name=1)
-        self.blocks2 = self._make_stage(c1, c2, first_stride=(2, (1, 1, 1)), name=2)
-        self.blocks3 = self._make_stage(c2, c3, first_stride=(2, (1, 1, 1)), name=3)
-        self.blocks4 = self._make_stage(c3, c4, first_stride=(2, (1, 1, 1)), name=4)
-        self.blocks5 = self._make_stage(c4, c5, first_stride=(2, (1, 1, 1)), name=5)
-        self.blocks6 = self._make_stage(c5, c5, first_stride=(2, (1, 1, 1)), name=6)
+        self.blocks2 = self._make_stage(c1, c2, first_stride=(2, (1, 1, 1)), name=2, down_kernel=dk[0])
+        self.blocks3 = self._make_stage(c2, c3, first_stride=(2, (1, 1, 1)), name=3, down_kernel=dk[1])
+        self.blocks4 = self._make_stage(c3, c4, first_stride=(2, (1, 1, 1)), name=4, down_kernel=dk[2])
+        self.blocks5 = self._make_stage(c4, c5, first_stride=(2, (1, 1, 1)), name=5, down_kernel=dk[3])
+        self.blocks6 = self._make_stage(c5, c5, first_stride=(2, (1, 1, 1)), name=6, down_kernel=dk[4])
 
         # sparse 2D output stage (spconv_backbone_voxelnext.py:129-139)
         self.w_out = SparseConvParam(c4, self.out_channels, kernel=(1, 3, 3))
@@ -105,10 +110,12 @@ class VoxelResBackBone8xVoxelNeXt(_SparseStack):
         blocks = [None, self.blocks1, self.blocks2, self.blocks3,
                   self.blocks4, self.blocks5, self.blocks6]
         for li in range(2, 7):
+            dkn = self.down_kernels[li - 2]
             level = self._down(level, blocks[li]["down"],
                                blocks[li]["down_bn"], train, s[li - 1],
                                self.caps[min(li, len(self.caps) - 1)],
-                               ovf_acc, padding=(1, 1, 1))
+                               ovf_acc, kernel=(dkn, dkn, dkn),
+                               padding=(dkn // 2,) * 3)
             level = self._blocks(blocks[li], level, train, ovf_acc)
             levels[li] = level
             if li <= 4:

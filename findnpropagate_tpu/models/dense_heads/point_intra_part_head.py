@@ -45,6 +45,24 @@ class PointIntraPartOffsetHead(nn.Module):
         batch["point_cls_scores"] = jax.nn.sigmoid(
             jnp.max(cls_preds, axis=-1))
         batch["point_part_offset"] = jax.nn.sigmoid(part_preds)
+        if "REG_FC" in cfg:
+            # PartA2_free: the anchor-free stage-1 also regresses per-point
+            # boxes that the ROI head consumes as proposals (reference
+            # point_intra_part_head.py:23-33, box_layers + the
+            # generate_predicted_boxes path of point_head_template.py)
+            from .point_head_box import _make_coder
+
+            coder = _make_coder(cfg)
+            box_preds = _fc_stack("reg", cfg["REG_FC"], coder.code_size,
+                                  feats, valid, train)
+            batch["point_box_preds_enc"] = box_preds
+            pred_classes = jnp.argmax(cls_preds, axis=-1) + 1
+            decoded = coder.decode(box_preds, batch["point_coords"],
+                                   pred_classes)
+            batch["batch_cls_preds"] = jnp.where(
+                valid[..., None], cls_preds, -1e9)
+            batch["batch_box_preds"] = decoded[..., :7]
+            batch["cls_preds_normalized"] = False
         return batch
 
 

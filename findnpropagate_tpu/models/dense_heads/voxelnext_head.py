@@ -173,6 +173,37 @@ class VoxelNeXtHead(nn.Module):
         return batch
 
 
+def _bev_aligned_diou(pred, gt):
+    """Axis-aligned 3D DIoU (reference loss_utils.py:646-705: yaw is
+    ignored; BEV extents are compared axis-aligned). pred/gt (..., 7).
+    Returns (...,) in [-1, 1]."""
+    pc, gc = pred[..., :2], gt[..., :2]
+    pd, gd = pred[..., 3:5], gt[..., 3:5]
+    pmin, pmax = pc - 0.5 * pd, pc + 0.5 * pd
+    gmin, gmax = gc - 0.5 * gd, gc + 0.5 * gd
+    inter_xy = jnp.clip(jnp.minimum(pmax, gmax) - jnp.maximum(pmin, gmin),
+                        0.0)
+    outer_xy = jnp.clip(jnp.maximum(pmax, gmax) - jnp.minimum(pmin, gmin),
+                        0.0)
+    ph, gh = pred[..., 5], gt[..., 5]
+    pz, gz = pred[..., 2], gt[..., 2]
+    inter_h = jnp.clip(
+        jnp.minimum(pz + 0.5 * ph, gz + 0.5 * gh)
+        - jnp.maximum(pz - 0.5 * ph, gz - 0.5 * gh), 0.0)
+    outer_h = jnp.clip(
+        jnp.maximum(pz + 0.5 * ph, gz + 0.5 * gh)
+        - jnp.minimum(pz - 0.5 * ph, gz - 0.5 * gh), 0.0)
+    vol_i = inter_xy[..., 0] * inter_xy[..., 1] * inter_h
+    vol_u = (pred[..., 3] * pred[..., 4] * ph
+             + gt[..., 3] * gt[..., 4] * gh - vol_i)
+    inter_diag = jnp.sum((gt[..., :3] - pred[..., :3]) ** 2, -1)
+    outer_diag = (outer_xy[..., 0] ** 2 + outer_xy[..., 1] ** 2
+                  + outer_h ** 2)
+    diou = vol_i / jnp.clip(vol_u, 1e-6) \
+        - inter_diag / jnp.clip(outer_diag, 1e-6)
+    return jnp.clip(diou, -1.0, 1.0)
+
+
 @dataclass(frozen=True)
 class VoxelNeXtHeadTools:
     model_cfg: Any
@@ -293,6 +324,7 @@ class VoxelNeXtHeadTools:
         code_w = jnp.asarray(lw["code_weights"], jnp.float32)
         glabels = self.group_labels
         hm_total, loc_total = 0.0, 0.0
+        iou_total, iou_reg_total = 0.0, 0.0
         for preds, group in zip(preds_all, glabels):
             group_arg = None if len(glabels) == 1 else group
             heatmaps, targets, inds, masks = self.assign(
@@ -312,9 +344,48 @@ class VoxelNeXtHeadTools:
             per_dim = L.reg_loss_centernet(
                 gathered, targets[..., : gathered.shape[-1]], masks)
             loc_total += jnp.sum(per_dim * code_w) * float(lw["loc_weight"])
-        total = hm_total + loc_total
-        return total, {"hm_loss": hm_total, "loc_loss": loc_total,
-                       "rpn_loss": total}
+
+            if bool(self.model_cfg.get("IOU_BRANCH", False)):
+                # reference voxelnext_head.py:284-297: supervise the iou
+                # head toward 2*IoU3D(pred, gt)-1 (L1, fg only) and add a
+                # DIoU regression term (loss_utils.py:616-718; the DIoU is
+                # axis-aligned in BEV by construction there).
+                vx = float(self.voxel_size[0])
+                vy = float(self.voxel_size[1])
+                pcr = self.point_cloud_range
+                near = jnp.take_along_axis(
+                    vox_xy, inds[..., None].astype(jnp.int32), axis=1)
+                g = gathered
+                x = (near[..., 0] + g[..., 0]) * self.stride * vx + pcr[0]
+                y = (near[..., 1] + g[..., 1]) * self.stride * vy + pcr[1]
+                dims = jnp.exp(jnp.clip(g[..., 3:6], -6.0, 6.0))
+                ang = jnp.arctan2(g[..., 7], g[..., 6])
+                pred_boxes = jnp.concatenate(
+                    [x[..., None], y[..., None], g[..., 2:3], dims,
+                     ang[..., None]], axis=-1)              # (B, M, 7)
+                gt_raw = out_batch["gt_boxes"][..., :7]
+                from ...ops.rotated_iou import boxes_aligned_iou3d
+
+                iou_t = jax.vmap(boxes_aligned_iou3d)(
+                    jax.lax.stop_gradient(pred_boxes), gt_raw)
+                iou_t = 2.0 * iou_t - 1.0                   # (B, M)
+                iou_p = jnp.take_along_axis(
+                    preds["iou"][..., 0], inds.astype(jnp.int32), axis=1)
+                m = masks.astype(jnp.float32)
+                n_fg = jnp.clip(jnp.sum(m), 1e-4)
+                iou_total = iou_total + jnp.sum(
+                    jnp.abs(iou_p - iou_t) * m) / n_fg
+                diou = _bev_aligned_diou(pred_boxes, gt_raw)
+                iou_w = float(lw.get("iou_weight", lw["loc_weight"]))
+                iou_reg_total = iou_reg_total + iou_w * jnp.sum(
+                    (1.0 - diou) * m) / n_fg
+        total = hm_total + loc_total + iou_total + iou_reg_total
+        tb = {"hm_loss": hm_total, "loc_loss": loc_total,
+              "rpn_loss": total}
+        if bool(self.model_cfg.get("IOU_BRANCH", False)):
+            tb["iou_loss"] = iou_total
+            tb["iou_reg_loss"] = iou_reg_total
+        return total, tb
 
     def _merge_double_flip(self, preds, coords, valid):
         """merge_double_flip (voxelnext_head.py:351-427): groups of 4 batch
@@ -449,6 +520,50 @@ class VoxelNeXtHeadTools:
                 & jnp.all(boxes[:, :3] <= post_range[3:], -1)
                 & valid[vox_idx]
             )
+            lut = jnp.asarray((0,) + tuple(group), jnp.int32)
+            if bool(self.model_cfg.get("IOU_BRANCH", False)):
+                # reference voxelnext_head.py:319-343
+                # rotate_class_specific_nms_iou: rectified score
+                # s^(1-r_c) * iou^r_c, then per-class NMS with per-class
+                # thresholds (NMS_* entries are lists on this path).
+                iou_v = (preds["iou"][:, 0] + 1.0) * 0.5
+                iou_sel = jnp.clip(iou_v[vox_idx], 0.0, 1.0)
+                rect = self.model_cfg.get("RECTIFIER",
+                                          [0.5] * self.num_classes)
+
+                def per_cls(container, val, ci):
+                    return val[ci] if isinstance(
+                        val, (list, tuple)) else val
+
+                bparts, sparts, lparts, num = [], [], [], 0
+                for ci in range(len(group)):
+                    r = float(per_cls(None, rect, group[ci] - 1))
+                    s_rect = jnp.power(jnp.clip(scores, 1e-6), 1.0 - r) \
+                        * jnp.power(jnp.clip(iou_sel, 1e-6), r)
+                    ok_c = ok & (cls_local == ci)
+                    idx_c, n_c = nms_bev(
+                        boxes, jnp.where(ok_c, s_rect, 0.0),
+                        float(per_cls(None, nms_cfg.get("NMS_THRESH", 0.7),
+                                      group[ci] - 1)),
+                        pre_maxsize=int(per_cls(
+                            None, nms_cfg.get("NMS_PRE_MAXSIZE", kk),
+                            group[ci] - 1)),
+                        post_maxsize=int(per_cls(
+                            None, nms_cfg.get("NMS_POST_MAXSIZE", 128),
+                            group[ci] - 1)),
+                        valid_mask=ok_c,
+                    )
+                    safe_c = jnp.clip(idx_c, 0)
+                    good_c = idx_c >= 0
+                    bparts.append(
+                        jnp.where(good_c[:, None], boxes[safe_c], 0.0))
+                    sparts.append(jnp.where(good_c, s_rect[safe_c], 0.0))
+                    lparts.append(jnp.where(
+                        good_c, jnp.int32(group[ci]), 0))
+                    num = num + n_c
+                return (jnp.concatenate(bparts, 0),
+                        jnp.concatenate(sparts, 0),
+                        jnp.concatenate(lparts, 0).astype(jnp.int32), num)
             idx, num = nms_bev(
                 boxes, jnp.where(ok, scores, 0.0),
                 float(nms_cfg.get("NMS_THRESH", 0.7)),
@@ -458,7 +573,6 @@ class VoxelNeXtHeadTools:
             )
             safe = jnp.clip(idx, 0)
             good = idx >= 0
-            lut = jnp.asarray((0,) + tuple(group), jnp.int32)
             labels = lut[jnp.clip(cls_local[safe] + 1, 0, len(group))]
             return (jnp.where(good[:, None], boxes[safe], 0.0),
                     jnp.where(good, scores[safe], 0.0),

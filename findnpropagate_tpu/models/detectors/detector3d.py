@@ -180,7 +180,8 @@ class DetectorModule(nn.Module):
                 # fully sparse heads (VoxelNeXt) read the backbone_3d output
                 head_in = self.backbone_3d.num_bev_features
             head_kw = {}
-            if cfg["DENSE_HEAD"].get("PREDICT_BOXES_WHEN_TRAINING") \
+            if (cfg["DENSE_HEAD"].get("PREDICT_BOXES_WHEN_TRAINING")
+                    or "ROI_HEAD" in cfg) \
                     and cfg["DENSE_HEAD"]["NAME"] == "CenterHead":
                 # PV-RCNN++-style CenterHead RPN: dense decode feeds the
                 # proposal stage (center_head.py dense-decode branch)

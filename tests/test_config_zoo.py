@@ -30,6 +30,7 @@ DATASET_YAMLS = sorted((CFG_DIR / "dataset_configs").glob("*.yaml"))
 # rigs, sequence streams, cached 2D detections)
 SKIP_SHAPE_INIT = {
     "CaDDN.yaml", "bevfusion.yaml", "mppnet_4frames.yaml",
+    "mppnet_16frames.yaml", "mppnet_e2e_memorybank_inference.yaml",
     "kitti_box_seeker_proposals.yaml", "nuscenes_box_seeker_proposals.yaml",
 }
 

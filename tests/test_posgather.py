@@ -129,3 +129,38 @@ def test_strided_deltas_grouping():
     d = strided_deltas((3, 3, 3), (2, 2, 2), (1, 1, 1), (21, 720, 720))
     centers = group_center_deltas(d)
     assert centers.shape == (9,)
+
+
+def test_bev_aligned_diou_matches_numpy():
+    # reference loss_utils.py:646-705 semantics (yaw ignored, axis-aligned)
+    from findnpropagate_tpu.models.dense_heads.voxelnext_head import (
+        _bev_aligned_diou)
+
+    rng = np.random.RandomState(3)
+    p = rng.uniform(0.5, 4.0, (32, 7)).astype(np.float32)
+    g = rng.uniform(0.5, 4.0, (32, 7)).astype(np.float32)
+    p[:, :3] = rng.uniform(-3, 3, (32, 3))
+    g[:, :3] = p[:, :3] + rng.uniform(-1, 1, (32, 3))
+    got = np.asarray(_bev_aligned_diou(jnp.asarray(p), jnp.asarray(g)))
+
+    def ref_one(pb, gb):
+        pmin = pb[:2] - pb[3:5] / 2
+        pmax = pb[:2] + pb[3:5] / 2
+        gmin = gb[:2] - gb[3:5] / 2
+        gmax = gb[:2] + gb[3:5] / 2
+        ixy = np.clip(np.minimum(pmax, gmax) - np.maximum(pmin, gmin), 0,
+                      None)
+        oxy = np.clip(np.maximum(pmax, gmax) - np.minimum(pmin, gmin), 0,
+                      None)
+        ih = max(min(pb[2] + pb[5] / 2, gb[2] + gb[5] / 2)
+                 - max(pb[2] - pb[5] / 2, gb[2] - gb[5] / 2), 0.0)
+        oh = max(max(pb[2] + pb[5] / 2, gb[2] + gb[5] / 2)
+                 - min(pb[2] - pb[5] / 2, gb[2] - gb[5] / 2), 0.0)
+        vi = ixy[0] * ixy[1] * ih
+        vu = pb[3] * pb[4] * pb[5] + gb[3] * gb[4] * gb[5] - vi
+        idg = np.sum((gb[:3] - pb[:3]) ** 2)
+        odg = oxy[0] ** 2 + oxy[1] ** 2 + oh ** 2
+        return np.clip(vi / max(vu, 1e-6) - idg / max(odg, 1e-6), -1, 1)
+
+    want = np.array([ref_one(p[i], g[i]) for i in range(32)])
+    np.testing.assert_allclose(got, want, atol=1e-4)
