@@ -306,8 +306,11 @@ class Label:
     """Label { box=1; metadata=2; type=3; id=4;
     detection_difficulty_level=5; tracking_difficulty_level=6;
     num_lidar_points_in_box=7 }
-    Box { center_x=1; center_y=2; center_z=3; width=4; length=5;
-    height=6; heading=7 }
+    Box { center_x=1; center_y=2; center_z=3; length=4; width=5;
+    height=6; heading=7 } — public label.proto: "length: dim x.
+    width: dim y." (a round-4 transposition here survived the
+    round-trip tests because the in-module encoder shared the map;
+    pinned by the committed golden byte fixture since round 5)
     Metadata { speed_x=1; speed_y=2; accel_x=3; accel_y=4 }"""
     center: np.ndarray = field(default_factory=lambda: np.zeros(3))
     length: float = 0.0
@@ -330,8 +333,8 @@ class Label:
         return cls(
             center=np.array([_double_field(box, 1), _double_field(box, 2),
                              _double_field(box, 3)]),
-            width=_double_field(box, 4),
-            length=_double_field(box, 5),
+            length=_double_field(box, 4),
+            width=_double_field(box, 5),
             height=_double_field(box, 6),
             heading=_double_field(box, 7),
             type=_varint_field(f, 3),
@@ -450,8 +453,8 @@ def encode_label(center, lwh, heading, type_idx, obj_id,
                  difficulty=0, tracking_difficulty=0, num_points=0,
                  speed=(0.0, 0.0), accel=(0.0, 0.0)) -> bytes:
     box = (emit_double(1, center[0]) + emit_double(2, center[1])
-           + emit_double(3, center[2]) + emit_double(4, lwh[1])
-           + emit_double(5, lwh[0]) + emit_double(6, lwh[2])
+           + emit_double(3, center[2]) + emit_double(4, lwh[0])
+           + emit_double(5, lwh[1]) + emit_double(6, lwh[2])
            + emit_double(7, heading))
     meta = (emit_double(1, speed[0]) + emit_double(2, speed[1])
             + emit_double(3, accel[0]) + emit_double(4, accel[1]))

@@ -333,3 +333,45 @@ def test_loader_and_gt_database_consume_generated_tree(tmp_path):
     one = db_infos["Vehicle"][0]
     crop = np.fromfile(tmp_path / one["path"], np.float32).reshape(-1, 5)
     assert crop.shape[1] == 5
+
+
+def test_golden_byte_fixture():
+    """Field-number pinning: the committed fixture bytes were hand-
+    assembled from the PUBLIC waymo proto schema (tests/fixtures/
+    make_waymo_golden.py) with no code shared with waymo_proto — a
+    transposed field id in the decoder can no longer cancel against the
+    in-module encoder. Caught live: the round-4 Box.length/width
+    transposition."""
+    import json
+    from pathlib import Path
+
+    from findnpropagate_tpu.datasets.waymo_proto import (
+        Frame, read_tfrecord)
+
+    fdir = Path(__file__).resolve().parent / "fixtures"
+    recs = list(read_tfrecord(fdir / "waymo_golden.tfrecord"))
+    assert len(recs) == 1
+    exp = json.loads((fdir / "waymo_golden_expected.json").read_text())
+
+    fr = Frame.parse(recs[0])
+    assert fr.context_name == exp["context_name"]
+    assert fr.timestamp_micros == exp["timestamp_micros"]
+    np.testing.assert_allclose(fr.pose[:3, 3], exp["pose_translation"])
+    cal = fr.laser_calibrations[0]
+    assert cal.name == 1
+    np.testing.assert_allclose(cal.beam_inclinations,
+                               exp["beam_inclinations"])
+    np.testing.assert_allclose(cal.extrinsic[2, 3], exp["extrinsic_z"])
+    ri = fr.lasers[0].ri_return1.range_image
+    assert list(ri.shape) == exp["range_image_shape"]
+    np.testing.assert_allclose(ri[:, :, 0], exp["ranges"])
+    assert len(fr.laser_labels) == 2
+    for lab, e in zip(fr.laser_labels, exp["labels"]):
+        np.testing.assert_allclose(lab.center, e["center"])
+        np.testing.assert_allclose(
+            [lab.length, lab.width, lab.height], e["lwh"])
+        np.testing.assert_allclose(lab.heading, e["heading"])
+        assert lab.type == e["type"] and lab.id == e["id"]
+        assert lab.detection_difficulty_level == e["difficulty"]
+        assert lab.num_lidar_points_in_box == e["num_points"]
+        np.testing.assert_allclose(lab.speed, e["speed"])
