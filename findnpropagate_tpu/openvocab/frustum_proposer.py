@@ -239,6 +239,32 @@ class FrustumProposerOG:
             extra_rots = lidar_aug_matrix[:3, :3]
             extra_trans = lidar_aug_matrix[:3, 3]
 
+        # Depth-presorted per-camera views (PERF.md round 5): the reference
+        # computes per-detection depth quantiles with torch.quantile
+        # (frustum_proposals_v1.py:616-630); the fixed-shape port sorted
+        # the full 200k-point depth vector PER DETECTION PER QUANTILE
+        # (288 bitonic sorts/frame — the measured seeker bottleneck). Each
+        # camera's points are instead sorted by depth ONCE (multi-operand
+        # lax.sort carries uvd + xyz + the on-image mask through the same
+        # permutation, no separate gathers); a detection's subset quantile
+        # is then an (exact) cumsum rank-select over its mask in sorted
+        # order. Disabled when per-detection point masks are supplied in
+        # RAW point order (the SEG variant).
+        use_sorted = det_point_mask is None
+        if use_sorted:
+            big = jnp.finfo(jnp.float32).max
+            key = jnp.where(on_img, cam_coords[..., 2], big)
+            (_, su, sv, sd, sx, sy, sz, som) = jax.lax.sort(
+                (key, cam_coords[..., 0], cam_coords[..., 1],
+                 cam_coords[..., 2], pts[None, :, 0] + 0 * key,
+                 jnp.broadcast_to(pts[None, :, 1], key.shape),
+                 jnp.broadcast_to(pts[None, :, 2], key.shape),
+                 on_img.astype(jnp.int32)),
+                dimension=1, num_keys=1)
+            uvd_sorted = jnp.stack([su, sv, sd], axis=-1)   # (NCAM, P, 3)
+            pts_sorted = jnp.stack([sx, sy, sz], axis=-1)   # (NCAM, P, 3)
+            on_img_sorted = som > 0
+
         base_boxes = jnp.asarray(self.base_boxes())       # (C, RS, 7)
         base_corners = jnp.asarray(
             boxes_to_corners_3d(base_boxes.reshape(-1, 7))
@@ -249,8 +275,14 @@ class FrustumProposerOG:
         def per_det(box, label, score, cam, kept, *pt_keep):
             cls = jnp.clip(label - 1, 0)
             x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
-            uvd = cam_coords[cam]           # (P, 3)
-            mask_cam = on_img[cam]
+            if use_sorted:
+                uvd = uvd_sorted[cam]       # (P, 3) depth-ascending
+                mask_cam = on_img_sorted[cam]
+                pts_det = pts_sorted[cam]
+            else:
+                uvd = cam_coords[cam]       # (P, 3)
+                mask_cam = on_img[cam]
+                pts_det = pts
             on_box = (
                 mask_cam
                 & (uvd[:, 1] < y2) & (uvd[:, 1] >= y1)
@@ -260,11 +292,36 @@ class FrustumProposerOG:
                 on_box = on_box & pt_keep[0]
             n_box_pts = jnp.sum(on_box)
             depths = uvd[:, 2]
-            fmin = jnp.maximum(masked_quantile(depths, on_box, self.lq),
-                               self.frustum_min)
-            fmax = jnp.minimum(masked_quantile(depths, on_box, self.uq),
-                               self.max_dist)
-            cz = masked_quantile(depths, on_box, self.cq)
+            if use_sorted:
+                # exact subset quantiles in one cumsum pass: depths are
+                # ascending, so the r-th smallest on-box depth sits at the
+                # r-th set position of the mask
+                cnt = jnp.cumsum(on_box.astype(jnp.int32))
+                n = cnt[-1]
+
+                def q_sorted(q):
+                    idx_f = q * jnp.maximum(n - 1, 0).astype(jnp.float32)
+                    lo = jnp.floor(idx_f).astype(jnp.int32)
+                    hi = jnp.ceil(idx_f).astype(jnp.int32)
+                    frac = idx_f - lo.astype(jnp.float32)
+                    pos_lo = jnp.sum((cnt <= lo).astype(jnp.int32))
+                    pos_hi = jnp.sum((cnt <= hi).astype(jnp.int32))
+                    lo_v = depths[jnp.clip(pos_lo, 0, depths.shape[0] - 1)]
+                    hi_v = depths[jnp.clip(pos_hi, 0, depths.shape[0] - 1)]
+                    return jnp.where(n > 0, lo_v * (1 - frac) + hi_v * frac,
+                                     0.0)
+
+                fmin = jnp.maximum(q_sorted(self.lq), self.frustum_min)
+                fmax = jnp.minimum(q_sorted(self.uq), self.max_dist)
+                cz = q_sorted(self.cq)
+            else:
+                fmin = jnp.maximum(
+                    masked_quantile(depths, on_box, self.lq),
+                    self.frustum_min)
+                fmax = jnp.minimum(
+                    masked_quantile(depths, on_box, self.uq),
+                    self.max_dist)
+                cz = masked_quantile(depths, on_box, self.cq)
 
             cam_rot = camera2lidar[cam, :3, :3]
             cam_tr = camera2lidar[cam, :3, 3]
@@ -343,7 +400,7 @@ class FrustumProposerOG:
             prop_valid = prop_valid & (ious > self.min_cam_iou)
 
             # density: points-in-boxes count of the on-box points (:920-994)
-            inside = points_in_boxes_mask(pts, boxes3d)  # (N, P)
+            inside = points_in_boxes_mask(pts_det, boxes3d)  # (N, P)
             in_frust = inside & on_box[None, :]
             counts = jnp.sum(in_frust, axis=1).astype(jnp.float32)
             max_count = jnp.max(jnp.where(prop_valid, counts, 0.0))
@@ -364,8 +421,8 @@ class FrustumProposerOG:
                 # in-box points vs the proposal yaw, only when > 3 points
                 m = in_frust.astype(jnp.float32)          # (N, P)
                 n_in = jnp.sum(m, axis=1)                  # (N,)
-                mean = (m @ pts) / jnp.maximum(n_in, 1.0)[:, None]
-                diff = pts[None, :, :] - mean[:, None, :]  # (N, P, 3)
+                mean = (m @ pts_det) / jnp.maximum(n_in, 1.0)[:, None]
+                diff = pts_det[None, :, :] - mean[:, None, :]  # (N, P, 3)
                 diff = diff * m[:, :, None]
                 cov = jnp.einsum("npi,npj->nij", diff, diff)
                 _, vecs = jnp.linalg.eigh(cov)             # ascending eigvals
@@ -378,7 +435,7 @@ class FrustumProposerOG:
             if self.occl_w > 0 or self.occl_mult:
                 # occlusion (:408-477): frustum points farther than the
                 # box's closest corner yet NOT inside it are failures
-                mags_p = jnp.linalg.norm(pts, axis=-1)     # (P,)
+                mags_p = jnp.linalg.norm(pts_det, axis=-1)     # (P,)
                 m1 = jnp.min(jnp.linalg.norm(corners, axis=-1), axis=1)  # (N,)
                 fail = on_box[None, :] & (mags_p[None, :] > m1[:, None]) \
                     & (~inside)

@@ -72,8 +72,8 @@ def reorder_weights_groups(weights27):
         weights27.reshape(3, k // 3, cin, cout), (1, 0, 2, 3))
 
 
-def _positions_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, gd_ref,
-                      pos_ref, win_ids, tgt_buf, sem_i, sem_t, *,
+def _positions_kernel(lo_ref, tap_lo_ref, hr_ref, tgt_hbm, ids_hbm,
+                      gd_ref, pos_ref, win_ids, tgt_buf, sem_i, sem_t, *,
                       tap_window=None, g_pad=None):
     """Grid (NB,). pos_ref block: (G, W) int32 — hit ? rank : ~rank, ranks
     relative to the block's union window (tap sub-window start added back).
@@ -96,19 +96,37 @@ def _positions_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, gd_ref,
                 sem_t.at[sl]),
         )
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (hr_ref[0] != 0))
     def _():
         for cp in copies(0, 0):
             cp.start()
 
-    @pl.when(i + 1 < nb)
+    @pl.when((i + 1 < nb) & (hr_ref[jnp.minimum(i + 1, nb - 1)] != 0))
     def _():
         for cp in copies(i + 1, 1 - slot):
             cp.start()
 
-    for cp in copies(i, slot):
-        cp.wait()
+    dead = hr_ref[i] == 0
 
+    @pl.when(dead)
+    def _():
+        # all-sentinel padding block: no neighbors exist; emit miss ranks
+        pos_ref[:, :] = jnp.full(
+            (pos_ref.shape[0], pos_ref.shape[1]), -1, jnp.int32)
+
+    @pl.when(jnp.logical_not(dead))
+    def _():
+        for cp in copies(i, slot):
+            cp.wait()
+        _positions_block(i, slot, tap_lo_ref, gd_ref, pos_ref, win_ids,
+                         tgt_buf, tap_window=tap_window, g_pad=g_pad)
+
+
+def _positions_block(i, slot, tap_lo_ref, gd_ref, pos_ref, win_ids,
+                     tgt_buf, *, tap_window, g_pad):
+    s = win_ids.shape[2]
+    g_n = gd_ref.shape[0]
+    w_blk = tgt_buf.shape[2]
     tgt = tgt_buf[slot, 0, :]
 
     for g in range(g_n):
@@ -136,9 +154,10 @@ def _positions_kernel(lo_ref, tap_lo_ref, tgt_hbm, ids_hbm, gd_ref,
 
 @functools.partial(jax.jit, static_argnames=("block", "window", "tap_window",
                                              "interpret"))
-def _positions_call(ids2, tgt2, lo, tap_lo, gdeltas, block, window,
-                    tap_window=None, interpret=False):
+def _positions_call(ids2, tgt2, lo, tap_lo, has_real, gdeltas, block,
+                    window, tap_window=None, interpret=False):
     """ids2 (1, V), tgt2 (NB, block), lo (NB,), tap_lo (NB, G),
+    has_real (NB,) int32 (0 = all-sentinel block, fully skipped),
     gdeltas (G,) -> pos (G, Vt) int32 signed-hit, window-relative ranks."""
     nb = tgt2.shape[0]
     vt = nb * block
@@ -146,7 +165,7 @@ def _positions_call(ids2, tgt2, lo, tap_lo, gdeltas, block, window,
     g_pad = -(-g_n // 8) * 8  # sublane-tile aligned output rows
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,          # lo, tap_lo, has_real
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),           # tgt ids
@@ -169,12 +188,12 @@ def _positions_call(ids2, tgt2, lo, tap_lo, gdeltas, block, window,
         out_shape=jax.ShapeDtypeStruct((g_pad, vt), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(lo, tap_lo, tgt2.reshape(1, -1), ids2, gdeltas[:, None])
+    )(lo, tap_lo, has_real, tgt2.reshape(1, -1), ids2, gdeltas[:, None])
 
 
-def _conv_kernel(starts_ref, lo_ref, base_ref, tgt_hbm, ids_hbm, feats_hbm,
-                 pos_hbm, gd_ref, w_ref, *rest, band: int, epilogue=False,
-                 relu=False, sentinel=None):
+def _conv_kernel(starts_ref, lo_ref, base_ref, hr_ref, tgt_hbm, ids_hbm,
+                 feats_hbm, pos_hbm, gd_ref, w_ref, *rest, band: int,
+                 epilogue=False, relu=False, sentinel=None):
     """Grid (NB,). Per block: band-taa gather of all 27 taps from the f32
     window + ONE weight matmul.
 
@@ -222,15 +241,44 @@ def _conv_kernel(starts_ref, lo_ref, base_ref, tgt_hbm, ids_hbm, feats_hbm,
                 sem_p.at[sl]),
         )
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (hr_ref[0] != 0))
     def _():
         for cp in copies(0, 0):
             cp.start()
 
-    @pl.when(i + 1 < nb)
+    @pl.when((i + 1 < nb) & (hr_ref[jnp.minimum(i + 1, nb - 1)] != 0))
     def _():
         for cp in copies(i + 1, 1 - slot):
             cp.start()
+
+    dead = hr_ref[i] == 0
+
+    @pl.when(dead)
+    def _():
+        # all-sentinel padding block: outputs are zero by definition
+        out_ref[:, :] = jnp.zeros(
+            (out_ref.shape[0], out_ref.shape[1]), out_ref.dtype)
+
+    @pl.when(jnp.logical_not(dead))
+    def _():
+        _conv_block(i, slot, starts_ref, base_ref, gd_ref, w_ref,
+                    scale_ref if epilogue else None,
+                    shift_ref if epilogue else None,
+                    out_ref, win_ids, win_feats, tgt_buf, pos_buf, relw,
+                    gbuf, copies, band=band, epilogue=epilogue, relu=relu,
+                    sentinel=sentinel)
+
+
+def _conv_block(i, slot, starts_ref, base_ref, gd_ref, w_ref, scale_ref,
+                shift_ref, out_ref, win_ids, win_feats, tgt_buf, pos_buf,
+                relw, gbuf, copies, *, band, epilogue, relu, sentinel):
+    s = win_ids.shape[2]
+    c = win_feats.shape[1]
+    cg = relw.shape[0]
+    g_n = gd_ref.shape[0]
+    w_blk = tgt_buf.shape[2]
+    ot_n = w_blk // 128
+    bw = band * 128
 
     for cp in copies(i, slot):
         cp.wait()
@@ -301,8 +349,8 @@ def _conv_kernel(starts_ref, lo_ref, base_ref, tgt_hbm, ids_hbm, feats_hbm,
 @functools.partial(jax.jit, static_argnames=(
     "block", "window", "band", "relu", "sentinel", "interpret", "out_bf16",
     "compute_dtype"))
-def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, gdeltas,
-               w_flat, block,
+def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, has_real,
+               gdeltas, w_flat, block,
                window, band, scale=None, shift=None, relu=False,
                sentinel=None, out_bf16=False, compute_dtype=jnp.bfloat16,
                interpret=False):
@@ -324,8 +372,8 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, gdeltas,
         pl.BlockSpec((cout, 3 * g_n * c), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),          # weights
     ]
-    operands = [starts, lo, base, tgt2.reshape(1, -1), ids2, feats_t, pos,
-                gdeltas[:, None], w_flat]
+    operands = [starts, lo, base, has_real, tgt2.reshape(1, -1), ids2,
+                feats_t, pos, gdeltas[:, None], w_flat]
     if epilogue:
         for _ in range(2):
             in_specs.append(
@@ -335,7 +383,7 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, gdeltas,
                          shift.astype(jnp.float32)[:, None]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,          # starts, lo, base
+        num_scalar_prefetch=4,          # starts, lo, base, has_real
         grid=(nb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((cout, block), lambda i, *_: (0, i),
@@ -365,7 +413,8 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, gdeltas,
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("lo", "base", "pos", "starts", "gdeltas", "overflow"),
+    data_fields=("lo", "base", "pos", "starts", "gdeltas", "has_real",
+                 "overflow"),
     meta_fields=("block", "window", "band"),
 )
 @dataclass(frozen=True)
@@ -381,6 +430,7 @@ class LevelPositions:
     pos: jax.Array
     starts: jax.Array
     gdeltas: jax.Array
+    has_real: jax.Array
     overflow: jax.Array
     block: int
     window: int
@@ -455,8 +505,9 @@ def compute_positions(src_ids, tgt_ids, deltas27, block: int, window: int,
         tap_window = None
 
     base = src_ids[lo]
+    hr = has_real.astype(jnp.int32)
     pos = _positions_call(src_ids[None, :], tgt_ids.reshape(nb, block), lo,
-                          tap_lo, gdeltas, block, window,
+                          tap_lo, hr, gdeltas, block, window,
                           tap_window=tap_window, interpret=interpret)
 
     # band starts: ranks are monotone per group across a block; anchor each
@@ -486,7 +537,7 @@ def compute_positions(src_ids, tgt_ids, deltas27, block: int, window: int,
     starts = starts.reshape(g_n, nb, ot_n).transpose(1, 0, 2).reshape(
         nb, g_n * ot_n).astype(jnp.int32)
     return LevelPositions(lo=lo, base=base.astype(jnp.int32), pos=pos,
-                          starts=starts, gdeltas=gdeltas,
+                          starts=starts, gdeltas=gdeltas, has_real=hr,
                           overflow=overflow, block=block, window=window,
                           band=band)
 
@@ -540,8 +591,8 @@ def posgather_conv(src_ids, src_feats, tgt_ids, weights, lp: LevelPositions,
 
     out = _conv_call(src_ids[None, :], feats_t,
                      tgt_ids.reshape(nb, lp.block), lp.pos, lp.starts,
-                     lp.lo, lp.base, lp.gdeltas, w_flat, lp.block,
-                     lp.window, lp.band,
+                     lp.lo, lp.base, lp.has_real, lp.gdeltas, w_flat,
+                     lp.block, lp.window, lp.band,
                      scale=scale, shift=shift, relu=relu,
                      sentinel=int(sentinel_start)
                      if scale is not None else None,
