@@ -64,12 +64,19 @@ class SyntheticDataset(DatasetTemplate):
 
         # skyline: piecewise-constant wall distance per azimuth sector
         # (buildings/vegetation); ~35% of azimuth has a wall inside range
+        # urban-canyon skyline: most azimuth sectors hit a wall, which
+        # truncates the far ground rings (the radially-isolated far rings
+        # were inflating L0 and dilating L1 ~1.5x; real sweeps run
+        # L1 ~0.9x L0 with L0 ~60k — PERF.md r5 calibration)
         n_sect = 64
-        wall_r = np.where(rng.uniform(size=n_sect) < 0.35,
-                          rng.uniform(8.0, 50.0, n_sect), np.inf)
-        wall_h = rng.uniform(2.0, 12.0, n_sect)
+        wall_r = np.where(rng.uniform(size=n_sect) < 0.70,
+                          rng.uniform(6.0, 40.0, n_sect), np.inf)
+        wall_h = rng.uniform(3.0, 14.0, n_sect)
 
-        ego_speed = rng.uniform(0.0, 8.0)
+        # city-speed ego: slow motion keeps the 10-sweep aggregate
+        # revisiting voxels (radial streaks stay contiguous); fast ego
+        # spreads rings into isolated copies and inflates the L1 dilation
+        ego_speed = rng.uniform(0.3, 3.0)
         ego_yaw = rng.uniform(-np.pi, np.pi)
         pts = []
         for sw in range(n_sweeps):
@@ -78,7 +85,13 @@ class SyntheticDataset(DatasetTemplate):
             dt = 0.05 * (n_sweeps - 1 - sw)
             ox = -ego_speed * dt * np.cos(ego_yaw)
             oy = -ego_speed * dt * np.sin(ego_yaw)
-            az = (rng.uniform(0, 2 * np.pi)
+            # fixed azimuth grid with small per-sweep jitter: a real
+            # spinning lidar re-samples (nearly) the same az grid every
+            # revolution, so slow-ego aggregates REVISIT voxels instead of
+            # spreading over fresh ones (random per-sweep phases inflated
+            # the L0 count ~1.7x and dilated L1 to 1.6x L0 — real sweeps
+            # run L1 ~0.9x L0; PERF.md r5)
+            az = (rng.normal(0, 2 * np.pi / n_az / 8)
                   + np.linspace(0, 2 * np.pi, n_az, endpoint=False))
             a, e = np.meshgrid(az, elev)                     # (B, A)
             sect = ((a / (2 * np.pi) * n_sect).astype(int)) % n_sect
@@ -91,7 +104,7 @@ class SyntheticDataset(DatasetTemplate):
             zw = wr * np.tan(e)
             hits_wall = (wr < rg) & (zw > ground_z) & (zw < ground_z + wh)
             r = np.where(hits_wall, wr, rg)
-            r = r * (1.0 + rng.normal(0, 0.002, r.shape))    # range noise
+            r = r * (1.0 + rng.normal(0, 0.0006, r.shape))   # range noise
             keep = (r > 1.0) & (r < max_r)
             rr, aa, ee = r[keep], a[keep], e[keep]
             x = rr * np.cos(ee) * np.cos(aa) + ox

@@ -385,6 +385,33 @@ class _SparseStack(nn.Module):
             sent = yxz_sentinel_start(shape)
             sub = self._per_level(
                 self.model_cfg.get("SUB_BLOCK", None), lvl_i)
+            if (str(self.model_cfg.get("SUBM_IMPL", "xla")).lower()
+                    == "posgather" and train and ctx_cache is not None
+                    and kernel[0] == 3
+                    and bool(self.model_cfg.get("POSGATHER_TRAIN", True))):
+                # training: posgather fwd + posgather transposed d_feats
+                # over the SAME cached positions; dW via the windowed
+                # kernel (ops/pallas_posgather.posgather_subm_diff)
+                import numpy as np_
+
+                from ...ops.pallas_posgather import posgather_subm_diff
+
+                ctx = self._level_ctx(ctx_cache, ids, shape, lvl_i, kernel,
+                                      ovf_acc)
+                interp = bool(self.model_cfg.get("PALLAS_INTERPRET", False))
+                d27 = jnp.asarray(np_.asarray(
+                    yxz_offset_deltas(kernel, shape)))
+                out = jax.vmap(
+                    lambda i, f, l: posgather_subm_diff(
+                        i, f, w, d27, l, dw_block=block, dw_window=window,
+                        sentinel_start=sent, interpret=interp)
+                )(ids, feats, ctx)
+                if b is not None:
+                    out = out + b[None, None, :]
+                out = jnp.where(valid[..., None], out, 0.0)
+                out = bnmod(out, valid, train)
+                out = nn.relu(out) if relu else out
+                return ("win", (ids, coords, valid, out), shape)
             if (self._use_posgather(train) and ctx_cache is not None
                     and kernel[0] == 3):
                 from ...ops.pallas_posgather import posgather_conv

@@ -113,14 +113,25 @@ def test_epilogue_affine_relu_mask():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_band_overflow_counts_on_dense_scene():
-    # density 0.4 packs >384 actives into some tap bands -> the counter
-    # must fire (exactness surface), even though most flags are the
-    # conservative near-violation kind
+def test_band_fallback_exact_on_dense_scene():
+    # density 0.4 packs >128 actives into many tap bands; with band=1 the
+    # per-tile one-hot FALLBACK must fire on those tiles and reproduce the
+    # reference exactly (band violations are handled, not counted)
     ids, valid, feats, deltas, sent = make_case(seed=1, density=0.4)
     lp1 = compute_positions(ids, ids, deltas, block=512, window=1024,
                             band=1, sentinel_start=sent, interpret=True)
-    assert int(lp1.overflow) > 0
+    assert int(jnp.sum(lp1.flags)) > 0          # fallback actually fires
+    assert int(lp1.overflow) == 0               # and is not an error
+    w = _w(feats.shape[1], 7)
+    ref, ovf_ref = windowed_conv(
+        ids, feats, ids, w, jnp.asarray(deltas), block=512, window=1024,
+        precision=jax.lax.Precision.HIGHEST, sentinel_start=sent)
+    out = posgather_conv(ids, feats, ids, w, lp1, sentinel_start=sent,
+                         compute_dtype=jnp.float32, interpret=True)
+    assert int(ovf_ref) == 0
+    m = np.asarray(valid)[:, None]
+    np.testing.assert_allclose(np.asarray(out) * m, np.asarray(ref) * m,
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_strided_deltas_grouping():
@@ -164,3 +175,39 @@ def test_bev_aligned_diou_matches_numpy():
 
     want = np.array([ref_one(p[i], g[i]) for i in range(32)])
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_subm_diff_grad_parity():
+    """posgather_subm_diff vs autodiff through the XLA windowed_conv:
+    same outputs, same d_feats and dW (interpret mode)."""
+    from findnpropagate_tpu.ops.pallas_posgather import posgather_subm_diff
+
+    ids, valid, feats, deltas, sent = make_case(seed=9, density=0.1)
+    cin, cout = feats.shape[1], 6
+    w = _w(cin, cout, seed=21)
+    lp = compute_positions(ids, ids, deltas, block=512, window=1024,
+                           band=3, sentinel_start=sent, interpret=True)
+    d27 = jnp.asarray(deltas)
+
+    def loss_new(f, ww):
+        out = posgather_subm_diff(ids, f, ww, d27, lp, dw_block=512,
+                                  dw_window=1024, sentinel_start=sent,
+                                  compute_dtype=jnp.float32,
+                                  interpret=True)
+        return jnp.sum(out * out)
+
+    def loss_ref(f, ww):
+        out, _ = windowed_conv(ids, f, ids, ww, d27, block=512,
+                               window=1024,
+                               precision=jax.lax.Precision.HIGHEST,
+                               sentinel_start=sent)
+        return jnp.sum(out * out)
+
+    g_new = jax.grad(loss_new, argnums=(0, 1))(feats, w)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    m = np.asarray(valid)[:, None]
+    np.testing.assert_allclose(np.asarray(g_new[0]) * m,
+                               np.asarray(g_ref[0]) * m,
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_new[1]), np.asarray(g_ref[1]),
+                               rtol=2e-3, atol=2e-3)
