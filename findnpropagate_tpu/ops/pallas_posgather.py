@@ -168,8 +168,8 @@ def _positions_call(ids2, tgt2, lo, tap_lo, has_real, gdeltas, block,
         num_scalar_prefetch=3,          # lo, tap_lo, has_real
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),           # tgt ids
-            pl.BlockSpec(memory_space=pltpu.ANY),           # src ids
+            pl.BlockSpec(memory_space=pl.ANY),           # tgt ids
+            pl.BlockSpec(memory_space=pl.ANY),           # src ids
             pl.BlockSpec((g_n, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),          # group deltas
         ],
@@ -387,10 +387,10 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, has_real,
     out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),           # tgt ids
-        pl.BlockSpec(memory_space=pltpu.ANY),           # src ids
-        pl.BlockSpec(memory_space=pltpu.ANY),           # feats f32
-        pl.BlockSpec(memory_space=pltpu.ANY),           # pos
+        pl.BlockSpec(memory_space=pl.ANY),           # tgt ids
+        pl.BlockSpec(memory_space=pl.ANY),           # src ids
+        pl.BlockSpec(memory_space=pl.ANY),           # feats f32
+        pl.BlockSpec(memory_space=pl.ANY),           # pos
         pl.BlockSpec((g_n, 1), lambda i, *_: (0, 0),
                      memory_space=pltpu.SMEM),          # group deltas
         pl.BlockSpec((cout, 3 * g_n * c), lambda i, *_: (0, 0),
