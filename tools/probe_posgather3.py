@@ -94,17 +94,17 @@ def run(name, v, shape, cin, cout, window, band, tap, block=1024,
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     cases = {
-        "l0subm": ("subm L0 c16 w2048", 121856, (41, 1440, 1440), 16, 16,
-                   2048, 3, 1280, 1024, None, False),
-        "l01down": ("strided L0->L1 w2048", 121856, (41, 1440, 1440), 16,
-                    32, 2048, 6, 1024, 1024, 65536, True),
-        "l1subm": ("subm L1 c32 w3584", 65536, (21, 720, 720), 32, 32,
-                   3584, 3, 1536, 1024, None, False),
-        "l12down": ("strided L1->L2 w6656", 65536, (21, 720, 720), 32, 64,
-                    6656, 6, 3840, 1024, 32768, True),
-        "l2subm": ("subm L2 c64 w3584", 32768, (11, 360, 360), 64, 64,
-                   3584, 3, 1536, 1024, None, False),
-        "l23down": ("strided L2->L3 w8192", 32768, (11, 360, 360), 64, 64,
+        "l0subm": ("subm L0 c16 w3584", 121856, (41, 1440, 1440), 16, 16,
+                   3584, 3, 1792, 1024, None, False),
+        "l01down": ("strided L0->L1 w4608", 121856, (41, 1440, 1440), 16,
+                    32, 4608, 6, 2816, 1024, 131072, True),
+        "l1subm": ("subm L1 c32 w3584", 131072, (21, 720, 720), 32, 32,
+                   3584, 3, 1792, 1024, None, False),
+        "l12down": ("strided L1->L2 w7168", 131072, (21, 720, 720), 32, 64,
+                    7168, 6, 5120, 1024, 49152, True),
+        "l2subm": ("subm L2 c64 w3584", 49152, (11, 360, 360), 64, 64,
+                   3584, 3, 1792, 1024, None, False),
+        "l23down": ("strided L2->L3 w8192", 49152, (11, 360, 360), 64, 64,
                     8192, 6, 4608, 1024, 16384, True),
     }
     for key, args in cases.items():
