@@ -289,10 +289,19 @@ def _conv_block(i, slot, starts_ref, base_ref, flags_ref, gd_ref, w_ref,
     base = base_ref[i]
     # window ids relative to the block's first window id — the window only
     # spans a few guard-banded y-rows (< 2^24), so the rebased ids are
-    # EXACT in f32, the only dtype Mosaic's dynamic gather accepts.
+    # EXACT in f32, the only dtype Mosaic's dynamic gather accepts. The
+    # (feats + id) rows are STACKED x3 so the three z-probes (rank-1,
+    # rank, rank+hit) ride ONE dynamic gather per band tile (3x fewer
+    # Mosaic ops — the flagship program was crashing the remote compile
+    # helper's per-request budget).
+    cg1 = relw.shape[0] // 3
     relw[0:c, :] = win_feats[slot]
     relw[c:c + 1, :] = (win_ids[slot, 0, :] - base
                         ).astype(jnp.float32)[None, :]
+    relw[cg1:cg1 + c, :] = win_feats[slot]
+    relw[cg1 + c:cg1 + c + 1, :] = relw[c:c + 1, :]
+    relw[2 * cg1:2 * cg1 + c, :] = win_feats[slot]
+    relw[2 * cg1 + c:2 * cg1 + c + 1, :] = relw[c:c + 1, :]
 
     for g in range(g_n):
         for ot in range(ot_n):
@@ -308,19 +317,24 @@ def _conv_block(i, slot, starts_ref, base_ref, flags_ref, gd_ref, w_ref,
             jm = rank - 1
             jp = rank + hit_c.astype(jnp.int32)
 
-            def band_gather(j):
-                jcl = jnp.clip(j, 0, bw - 1)
-                idx = jnp.broadcast_to(jcl[None, :], (cg, 128))
-                acc = jnp.zeros((cg, 128), jnp.float32)
-                for bt in range(band):
-                    tile = bandbuf[:, bt * 128:(bt + 1) * 128]
-                    gsel = jnp.take_along_axis(
-                        tile, jnp.clip(idx - bt * 128, 0, 127), axis=1)
-                    acc = jnp.where(
-                        (idx >= bt * 128) & (idx < (bt + 1) * 128),
-                        gsel, acc)
-                inband = (j >= 0) & (j < bw)
-                return acc, inband
+            # one stacked gather serves all three probes: rows [0:cg1) use
+            # jm, [cg1:2cg1) use jc, [2cg1:) use jp
+            idx3 = jnp.concatenate([
+                jnp.broadcast_to(jnp.clip(jm, 0, bw - 1)[None, :],
+                                 (cg1, 128)),
+                jnp.broadcast_to(jnp.clip(jc, 0, bw - 1)[None, :],
+                                 (cg1, 128)),
+                jnp.broadcast_to(jnp.clip(jp, 0, bw - 1)[None, :],
+                                 (cg1, 128)),
+            ], axis=0)
+            acc3 = jnp.zeros((3 * cg1, 128), jnp.float32)
+            for bt in range(band):
+                tile = bandbuf[:, bt * 128:(bt + 1) * 128]
+                gsel = jnp.take_along_axis(
+                    tile, jnp.clip(idx3 - bt * 128, 0, 127), axis=1)
+                acc3 = jnp.where(
+                    (idx3 >= bt * 128) & (idx3 < (bt + 1) * 128),
+                    gsel, acc3)
 
             cols = pl.ds(ot * 128, 128)
             g3 = g * 3 * c
@@ -328,9 +342,12 @@ def _conv_block(i, slot, starts_ref, base_ref, flags_ref, gd_ref, w_ref,
 
             @pl.when(jnp.logical_not(flagged))
             def _():
-                gc, okc = band_gather(jc)
-                gm, okm = band_gather(jm)
-                gp, okp = band_gather(jp)
+                gm = acc3[0:cg1]
+                gc = acc3[cg1:2 * cg1]
+                gp = acc3[2 * cg1:]
+                okm = (jm >= 0) & (jm < bw)
+                okc = (jc >= 0) & (jc < bw)
+                okp = (jp >= 0) & (jp < bw)
                 # exact id checks (f32 int-exact): the z-neighbors of want
                 # can only live at rank-1 / rank+hit (left-insertion
                 # invariant)
@@ -417,7 +434,8 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, has_real,
             pltpu.VMEM((2, c, window), jnp.float32),
             pltpu.VMEM((2, 1, block), jnp.int32),
             pltpu.VMEM((2, pos.shape[0], block), jnp.int32),
-            pltpu.VMEM((-(-(c + 1) // 8) * 8, window), jnp.float32),
+            pltpu.VMEM((3 * (-(-(c + 1) // 8) * 8), window),
+                       jnp.float32),
             pltpu.VMEM((3 * g_n * c, block), compute_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
