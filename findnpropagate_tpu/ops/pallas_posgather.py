@@ -364,18 +364,27 @@ def _conv_block(i, slot, starts_ref, base_ref, flags_ref, gd_ref, w_ref,
             @pl.when(flagged)
             def _():
                 # exact fallback for long-tailed tiles (rank span > band):
-                # one-hot compare over the FULL resident union window —
-                # flagged on ~0.1% of tiles at saturating density, so the
-                # compare volume stays negligible overall
-                wi = win_ids[slot, 0, :]
-                wf = win_feats[slot]
+                # one-hot compare over the FULL resident union window,
+                # CHUNKED so the (chunk, 3*128) mask intermediate stays
+                # ~1.5 MB on the VMEM stack (a full-window one-hot blew
+                # the 16 MB scoped-vmem budget at the wide strided
+                # variants). Flagged on ~0.1% of tiles at real density.
                 wants = tgt_buf[slot, 0, cols] + gd_ref[g, 0]
-                for dz, row in ((-1, 0), (0, c), (1, 2 * c)):
-                    onehot = (wi[:, None] == (wants + dz)[None, :]
-                              ).astype(jnp.float32)
-                    gg = jnp.dot(wf, onehot,
-                                 preferred_element_type=jnp.float32)
-                    gbuf[pl.ds(g3 + row, c), cols] = gg.astype(gbuf.dtype)
+                fchunk = 1024
+                tot = jnp.zeros((c, 3 * 128), jnp.float32)
+                for ch0 in range(0, s, fchunk):
+                    cw = min(fchunk, s - ch0)
+                    wi_c = win_ids[slot, 0, ch0:ch0 + cw]
+                    wf_c = win_feats[slot, :, ch0:ch0 + cw]
+                    mask = jnp.concatenate([
+                        (wi_c[:, None] == (wants + dz)[None, :]
+                         ).astype(jnp.float32)
+                        for dz in (-1, 0, 1)], axis=1)     # (cw, 3*128)
+                    tot = tot + jnp.dot(
+                        wf_c, mask, preferred_element_type=jnp.float32)
+                for zi, row in ((0, 0), (1, c), (2, 2 * c)):
+                    gbuf[pl.ds(g3 + row, c), cols] = tot[
+                        :, zi * 128:(zi + 1) * 128].astype(gbuf.dtype)
 
     acc = jnp.dot(w_ref[:], gbuf[:], preferred_element_type=jnp.float32)
     if epilogue:
