@@ -59,7 +59,24 @@ def _random_variables(det, batch, train=False):
                 rng.standard_normal(s.shape).astype(np.float32) * 0.05)
         return jnp.zeros(s.shape, s.dtype)
 
-    return jax.tree.map(mat, shapes)
+    out = jax.tree.map(mat, shapes)
+    # batch_stats sanity: zero BN variances amplify ~300x per conv and the
+    # activations overflow bf16 to nan — a nan chain scalar then makes
+    # every timed iteration's input identical, and the relay REPLAYS the
+    # memoized execution (truth-protocol violation, PERF.md round 5:
+    # measured a fake 66 ms "latency" vs the true ~134 ms). Unit variances
+    # + zero means keep the random-weight forward finite.
+    if "batch_stats" in out:
+        def stats(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else ""
+            if leaf.dtype == jnp.float32 and name == "var":
+                return jnp.ones_like(leaf)
+            if leaf.dtype == jnp.float32 and name == "mean":
+                return jnp.zeros_like(leaf)
+            return leaf
+        out["batch_stats"] = jax.tree_util.tree_map_with_path(
+            stats, out["batch_stats"])
+    return out
 
 
 def build_transfusion_bench(batch_size: int = 1, training: bool = False):

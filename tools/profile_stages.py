@@ -68,8 +68,14 @@ def main():
             leaves = [x for x in jax.tree.leaves(b)
                       if hasattr(x, "dtype")
                       and jnp.issubdtype(x.dtype, jnp.floating)]
-            return sum(jnp.sum(jnp.abs(l).astype(jnp.float32)) % 1000.0
-                       for l in leaves)
+            # nan_to_num per leaf: the bench weights are random normals
+            # whose activations overflow in bf16 — a nan chain scalar makes
+            # every iteration's input IDENTICAL and the relay replays the
+            # memoized execution (measured: a fake 66 ms "full forward"
+            # vs the true 134 ms; PERF.md truth protocol, round 5)
+            return sum(jnp.nan_to_num(
+                jnp.sum(jnp.abs(l).astype(jnp.float32)) % 1000.0,
+                nan=0.37 + 0.01 * i) for i, l in enumerate(leaves))
         return f
 
     prev = 0.0
