@@ -194,7 +194,7 @@ def _positions_call(ids2, tgt2, lo, tap_lo, has_real, gdeltas, block,
 def _conv_kernel(starts_ref, lo_ref, base_ref, hr_ref, flags_ref,
                  tgt_hbm, ids_hbm, feats_hbm, pos_hbm, gd_ref, w_ref,
                  *rest, band: int, epilogue=False, relu=False,
-                 sentinel=None):
+                 sentinel=None, skip_dead=True):
     """Grid (NB,). Per block: band-taa gather of all 27 taps from the f32
     window + ONE weight matmul.
 
@@ -223,7 +223,8 @@ def _conv_kernel(starts_ref, lo_ref, base_ref, hr_ref, flags_ref,
     w_blk = tgt_buf.shape[2]
     ot_n = w_blk // 128
     bw = band * 128
-    slot = jax.lax.rem(i, 2)
+    depth = win_feats.shape[0]           # DMA pipeline slots (2 or 3)
+    slot = jax.lax.rem(i, depth)
 
     def copies(j, sl):
         lo_j = pl.multiple_of(lo_ref[j], ALIGN)
@@ -242,15 +243,36 @@ def _conv_kernel(starts_ref, lo_ref, base_ref, hr_ref, flags_ref,
                 sem_p.at[sl]),
         )
 
-    @pl.when((i == 0) & (hr_ref[0] != 0))
+    def live(j):
+        return hr_ref[jnp.minimum(j, nb - 1)] != 0 if skip_dead \
+            else (i == i)
+
+    # warm-up: fill depth-1 slots ahead; steady state keeps depth-1 window
+    # DMAs in flight so the per-block strided window fetch (latency-bound:
+    # the conv cost measured LINEAR in window at 2-deep) overlaps compute
+    @pl.when(i == 0)
     def _():
-        for cp in copies(0, 0):
+        for j in range(depth - 1):
+            @pl.when((j < nb) & live(j))
+            def _(j=j):
+                for cp in copies(j, j % depth):
+                    cp.start()
+
+    @pl.when((i + depth - 1 < nb) & live(i + depth - 1))
+    def _():
+        for cp in copies(i + depth - 1,
+                         jax.lax.rem(i + depth - 1, depth)):
             cp.start()
 
-    @pl.when((i + 1 < nb) & (hr_ref[jnp.minimum(i + 1, nb - 1)] != 0))
-    def _():
-        for cp in copies(i + 1, 1 - slot):
-            cp.start()
+    if not skip_dead:
+        _conv_block(i, slot, starts_ref, base_ref, flags_ref, gd_ref,
+                    w_ref,
+                    scale_ref if epilogue else None,
+                    shift_ref if epilogue else None,
+                    out_ref, win_ids, win_feats, tgt_buf, pos_buf, relw,
+                    gbuf, copies, band=band, epilogue=epilogue, relu=relu,
+                    sentinel=sentinel)
+        return
 
     dead = hr_ref[i] == 0
 
@@ -398,12 +420,12 @@ def _conv_block(i, slot, starts_ref, base_ref, flags_ref, gd_ref, w_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "block", "window", "band", "relu", "sentinel", "interpret", "out_bf16",
-    "compute_dtype"))
+    "compute_dtype", "skip_dead"))
 def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, has_real,
                flags, gdeltas, w_flat, block,
                window, band, scale=None, shift=None, relu=False,
                sentinel=None, out_bf16=False, compute_dtype=jnp.bfloat16,
-               interpret=False):
+               skip_dead=True, interpret=False):
     nb = tgt2.shape[0]
     vt = nb * block
     c = feats_t.shape[0]
@@ -432,6 +454,14 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, has_real,
         operands.extend([scale.astype(jnp.float32)[:, None],
                          shift.astype(jnp.float32)[:, None]])
 
+    # 3-deep window pipelining hides the strided window-DMA latency;
+    # drop to 2 when the f32 window buffers would push scoped vmem past
+    # the ~16 MB budget (the wide strided variants)
+    est3 = (3 * (c + 1) * window * 4
+            + 3 * (-(-(c + 1) // 8) * 8) * window * 4
+            + 3 * g_n * c * block * 2)
+    depth = 3 if est3 < 11 * 1024 * 1024 else 2
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,      # starts, lo, base, has_real, flags
         grid=(nb,),
@@ -439,22 +469,23 @@ def _conv_call(ids2, feats_t, tgt2, pos, starts, lo, base, has_real,
         out_specs=pl.BlockSpec((cout, block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, window), jnp.int32),
-            pltpu.VMEM((2, c, window), jnp.float32),
-            pltpu.VMEM((2, 1, block), jnp.int32),
-            pltpu.VMEM((2, pos.shape[0], block), jnp.int32),
+            pltpu.VMEM((depth, 1, window), jnp.int32),
+            pltpu.VMEM((depth, c, window), jnp.float32),
+            pltpu.VMEM((depth, 1, block), jnp.int32),
+            pltpu.VMEM((depth, pos.shape[0], block), jnp.int32),
             pltpu.VMEM((3 * (-(-(c + 1) // 8) * 8), window),
                        jnp.float32),
             pltpu.VMEM((3 * g_n * c, block), compute_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
     out_t = pl.pallas_call(
         functools.partial(_conv_kernel, band=band, epilogue=epilogue,
-                          relu=relu, sentinel=sentinel),
+                          relu=relu, sentinel=sentinel,
+                          skip_dead=skip_dead),
         out_shape=jax.ShapeDtypeStruct((cout, vt), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -604,7 +635,7 @@ def compute_positions(src_ids, tgt_ids, deltas27, block: int, window: int,
 def posgather_conv(src_ids, src_feats, tgt_ids, weights, lp: LevelPositions,
                    scale=None, shift=None, relu=False, sentinel_start=None,
                    out_bf16=False, compute_dtype=jnp.bfloat16,
-                   interpret=False):
+                   skip_dead=True, interpret=False):
     """One submanifold/strided conv using precomputed LevelPositions.
 
     src_feats (V, Cin) any float dtype (converted to f32 — the window must
@@ -656,7 +687,7 @@ def posgather_conv(src_ids, src_feats, tgt_ids, weights, lp: LevelPositions,
                      sentinel=int(sentinel_start)
                      if scale is not None else None,
                      out_bf16=out_bf16, compute_dtype=compute_dtype,
-                     interpret=interpret)
+                     skip_dead=skip_dead, interpret=interpret)
     out = out[:, :cout]
     if out_bf16:
         return out
